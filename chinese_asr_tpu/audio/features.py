@@ -1,0 +1,238 @@
+"""Log-mel front end, TPU-native.
+
+Reproduces the reference pipeline (reference data.py:129-280) bit-for-bit in
+math while restructuring it for the MXU:
+
+  preemphasis -> framing -> window+DFT **as two matmuls** -> power -> mel
+  matmul -> eps-floor -> log -> delta/delta-delta conv -> x3 frame stacking
+
+Key parity details honored:
+* ``torch.stft(n_fft=512, hop=160, win_length=400, hann, center=False,
+  onesided=True)`` (data.py:205-209): the 400-tap periodic Hann window is
+  zero-padded to 512 **centered** (left offset 56), frames are
+  ``x[t*160 : t*160+512]``, n_frames = (N-512)//160 + 1.  We never
+  materialize 512-wide frames: the window and the DFT basis are folded into
+  two [400, 257] matrices, so each frame is a 400-sample gather followed by
+  MXU matmuls.
+* The mel filterbank reproduces the reference's formula *including its
+  quirk* that STFT bin centers are taken as linspace(f_min, f_max, 257)
+  (data.py:43) rather than linspace(0, sr/2, 257).
+* Zero power is floored to float32 eps before log (data.py:223-224).
+* delta/delta-delta: 9-tap [identity; delta; delta*delta] filter stack,
+  L2-normalized per filter, zero-padded 'same' conv (data.py:129-164).
+* x3 downsample stacks channel-major: [3, T, 80] -> [T//3, 720] with layout
+  (channel, frame-within-triple, mel) (data.py:244-249).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AudioConfig
+
+
+# --------------------------------------------------------------------------
+# host-side constants (computed once per AudioConfig)
+# --------------------------------------------------------------------------
+def hann_window_periodic(win_length: int) -> np.ndarray:
+    """torch.hann_window default (periodic=True)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
+
+
+def mel_filterbank(n_stft: int, f_min: float, f_max: float, n_mels: int) -> np.ndarray:
+    """HTK triangular filterbank, reference formula data.py:21-57 (note the
+    reference's stft_freqs = linspace(f_min, f_max, n_stft) quirk)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    stft_freqs = np.linspace(f_min, f_max, n_stft)
+    m_min = 0.0 if f_min == 0 else hz_to_mel(f_min)
+    m_max = hz_to_mel(f_max)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]                       # (n_mels + 1,)
+    slopes = f_pts[None, :] - stft_freqs[:, None]         # (n_stft, n_mels + 2)
+    down = (-slopes[:, :-2]) / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def delta_filter_stack() -> np.ndarray:
+    """[9, 3] tap stack: identity / delta / delta-delta, each L2-normalized
+    (reference data.py:137-147; the scipy convolve is constant-folded)."""
+    delta = np.array([2, 1, 0, -1, -2], dtype=np.float64)
+    dd = np.convolve(delta, delta, mode="full")           # 9 taps
+    stack = np.stack([
+        np.pad([1.0], (4, 4)),
+        np.pad(delta, (2, 2)),
+        dd,
+    ], axis=1)                                            # [9, 3]
+    stack = stack / np.sqrt((stack ** 2).sum(axis=0, keepdims=True))
+    return stack.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(cfg: AudioConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(cos_mat [win,257], sin_mat [win,257], mel_fb [257,80], deltas [9,3]).
+
+    Window + centered zero-pad offset + DFT basis folded together:
+    frame_sample m sits at DFT position (n_fft-win)//2 + m.
+    """
+    n_fft = cfg.n_fft
+    win = cfg.win_length
+    n_bins = n_fft // 2 + 1
+    w = hann_window_periodic(win).astype(np.float64)
+    offset = (n_fft - win) // 2
+    n = offset + np.arange(win, dtype=np.float64)         # positions in 512 frame
+    k = np.arange(n_bins, dtype=np.float64)
+    phase = 2.0 * np.pi * np.outer(n, k) / n_fft          # [win, bins]
+    cos_mat = (np.cos(phase) * w[:, None]).astype(np.float32)
+    sin_mat = (-np.sin(phase) * w[:, None]).astype(np.float32)
+    fb = mel_filterbank(n_bins, cfg.f_min, cfg.f_max, cfg.n_mels)
+    return cos_mat, sin_mat, fb, delta_filter_stack()
+
+
+def num_frames(n_samples, cfg: AudioConfig):
+    """Frames for center=False STFT on the *post-preemphasis* signal
+    (preemphasis drops one sample, data.py:202)."""
+    n = n_samples - (1 if cfg.preemphasis > 0 else 0)
+    return 1 + (n - cfg.n_fft) // cfg.hop_length
+
+
+def feat_len_from_samples(n_samples, cfg: AudioConfig):
+    t = num_frames(n_samples, cfg)
+    return t // 3 if cfg.downsample else t
+
+
+# --------------------------------------------------------------------------
+# jit-able pipeline
+# --------------------------------------------------------------------------
+def _frame(x, n_frames_max: int, cfg: AudioConfig):
+    """x [..., N] -> frames [..., T, win] via gather.
+
+    Only the window's support is gathered: torch.stft frames are n_fft=512
+    wide with the 400-tap window centered, so the live samples of frame t are
+    x[t*hop + 56 : t*hop + 56 + 400].
+    """
+    offset = (cfg.n_fft - cfg.win_length) // 2
+    idx = (jnp.arange(n_frames_max)[:, None] * cfg.hop_length + offset
+           + jnp.arange(cfg.win_length)[None, :])         # [T, win]
+    return x[..., idx]
+
+
+def log_mel(audio, n_frames_max: int, cfg: AudioConfig, frame_mask=None):
+    """audio [..., N] float32 (already dithered if training) ->
+    log-mel [..., T, n_mels].
+
+    frame_mask [..., T] (1 valid / 0 pad): if given, padded frames are zeroed
+    *after* the log so the delta conv sees zeros beyond the true end, exactly
+    like the reference's per-utterance zero padding (data.py:157-159).
+    """
+    cos_mat, sin_mat, fb, _ = _constants(cfg)
+    cos_mat, sin_mat, fb = jnp.asarray(cos_mat), jnp.asarray(sin_mat), jnp.asarray(fb)
+
+    if cfg.preemphasis > 0.0:
+        audio = audio[..., 1:] - cfg.preemphasis * audio[..., :-1]
+    frames = _frame(audio, n_frames_max, cfg)             # [..., T, win]
+    re = frames @ cos_mat                                 # [..., T, bins]
+    im = frames @ sin_mat
+    power = re * re + im * im
+    mel = power @ fb                                      # [..., T, n_mels]
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    mel = jnp.where(mel == 0.0, eps, mel)
+    out = jnp.log(mel)
+    if frame_mask is not None:
+        out = out * frame_mask[..., None]
+    return out
+
+
+def add_delta_deltas(feat):
+    """feat [..., T, n_mels] -> [..., 3, T, n_mels] (reference data.py:129-164)."""
+    _, _, _, taps = _constants(AudioConfig())             # taps independent of cfg
+    taps = jnp.asarray(taps)                              # [9, 3]
+    x = jnp.pad(feat, [(0, 0)] * (feat.ndim - 2) + [(4, 4), (0, 0)])
+    # stack 9 shifted views then contract: [..., T, 9, M] x [9, 3]
+    T = feat.shape[-2]
+    shifts = jnp.stack([x[..., j:j + T, :] for j in range(9)], axis=-2)
+    out = jnp.einsum("...tjm,jc->...ctm", shifts, taps)
+    return out
+
+
+def stack3(feat3):
+    """[..., 3, T, M] -> [..., T//3, 9*M] channel-major stacking
+    (reference data.py:244-249: view(3, T//3, 3M) -> transpose -> flatten)."""
+    *lead, C, T, M = feat3.shape
+    T3 = (T // 3) * 3
+    f = feat3[..., :T3, :].reshape(*lead, C, T3 // 3, 3 * M)
+    f = jnp.moveaxis(f, -3, -2)                           # [..., T//3, C, 3M]
+    return f.reshape(*lead, T3 // 3, C * 3 * M)
+
+
+def instance_norm(feat, mask=None, eps: float = 1e-6, unbiased: bool = True):
+    """(x - mean_t) / (std_t + eps) per utterance over valid frames
+    (reference main.py:37 eps=1e-6; data.py:517 eps=1e-7 in the loader —
+    pass eps accordingly).  torch .std() is unbiased (n-1)."""
+    if mask is None:
+        n = feat.shape[-2]
+        mean = feat.mean(axis=-2, keepdims=True)
+        var = ((feat - mean) ** 2).sum(axis=-2, keepdims=True) / max(n - 1, 1)
+    else:
+        m = mask[..., None]
+        n = jnp.maximum(m.sum(axis=-2, keepdims=True), 1.0)
+        mean = (feat * m).sum(axis=-2, keepdims=True) / n
+        dof = jnp.maximum(n - 1.0, 1.0) if unbiased else n
+        var = (((feat - mean) * m) ** 2).sum(axis=-2, keepdims=True) / dof
+    out = (feat - mean) / (jnp.sqrt(var) + eps)
+    if mask is not None:
+        out = out * mask[..., None]
+    return out
+
+
+def featurize(audio, n_frames_max: int, cfg: AudioConfig, frame_mask=None):
+    """Full front end: audio [..., N] -> features.
+
+    Non-CNN2D layout: [..., T', feat_dim] with feat_dim = 720 for defaults.
+    CNN2D layout is produced by the caller from the pre-stack tensor.
+    """
+    lm = log_mel(audio, n_frames_max, cfg, frame_mask)    # [..., T, 80]
+    if cfg.delta_delta:
+        f3 = add_delta_deltas(lm)                         # [..., 3, T, 80]
+    else:
+        f3 = lm[..., None, :, :]
+    if cfg.downsample:
+        return stack3(f3)
+    # no downsample: [..., T, C*M]
+    f = jnp.moveaxis(f3, -3, -2)
+    return f.reshape(f.shape[:-2] + (-1,))
+
+
+def featurize_batch(wavs, wav_lens, cfg: AudioConfig, norm_eps: float = 1e-7):
+    """Batched, fully jit-able: wavs [B, N] zero-padded, wav_lens [B] ->
+    (features [B, T', D], feat_lens [B]).
+
+    Padded frames are zeroed pre-delta (parity with per-utterance zero conv
+    padding) and excluded from the instance-norm statistics.
+    """
+    B, N = wavs.shape
+    T = int(num_frames(N, cfg))
+    valid_frames = num_frames(wav_lens, cfg)              # [B]
+    fmask = (jnp.arange(T)[None, :] < valid_frames[:, None]).astype(wavs.dtype)
+    feats = featurize(wavs, T, cfg, frame_mask=fmask)     # [B, T', D]
+    feat_lens = valid_frames // 3 if cfg.downsample else valid_frames
+    Tp = feats.shape[1]
+    out_mask = (jnp.arange(Tp)[None, :] < feat_lens[:, None]).astype(feats.dtype)
+    if cfg.normalize:
+        feats = instance_norm(feats, out_mask, eps=norm_eps)
+    else:
+        feats = feats * out_mask[..., None]
+    return feats, feat_lens

@@ -1,0 +1,287 @@
+"""Recurrent ops as pure functions over parameter pytrees.
+
+TPU-native redesign of the reference's RNN machinery (reference
+util.py:69-114 init, util.py:726-746 factory, util.py:1149-1324 RNN_RES
+residual stack, util.py:1624-1661 RNNCellBase decoder stack):
+
+* ``PackedSequence`` is replaced by fixed-shape [B, T, D] tensors + length
+  masks inside a single ``lax.scan`` — no host round-trips, no per-length
+  recompiles beyond the bucketed T.
+* The input-to-hidden matmul for the *whole sequence* is hoisted out of the
+  scan as one large [B*T, D] x [D, 4H] MXU matmul (the reference hand-codes
+  the same trick inside its custom LSTM, util.py:862); the scan body only
+  does the [B, H] x [H, 4H] recurrent matmul.
+* Bidirectionality is two scans over a value-reversed (per true length)
+  sequence instead of cuDNN's packed reverse.
+
+Parameter layout per layer/direction (torch-transposed for right-matmuls):
+  w_ih [D, 4H] or [D, 3H] / [D, H]; w_hh [H, ...]; b_ih, b_hh [...]
+Gate order matches torch: LSTM (i, f, g, o), GRU (r, z, n) — this keeps the
+checkpoint converter a pure transpose (reference model.py:347-369 schema).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jnp.ndarray]
+
+_GATES = {"LSTM": 4, "GRU": 3, "RNN_TANH": 1, "RNN_RELU": 1}
+
+
+# --------------------------------------------------------------------------
+# init (reference util.py:90-114: zeros bias + LSTM forget-bias 0.5,
+# orthogonal hh, xavier-normal ih)
+# --------------------------------------------------------------------------
+def _xavier_normal(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def _orthogonal_gates(key, hidden, n_gates, dtype=jnp.float32):
+    """torch orthogonal init is applied to the full [n*h, h] matrix; we store
+    its transpose [h, n*h]."""
+    w = jax.nn.initializers.orthogonal()(key, (n_gates * hidden, hidden), dtype)
+    return w.T
+
+
+def init_rnn_layer(key, mode: str, input_size: int, hidden_size: int,
+                   dtype=jnp.float32) -> Params:
+    n = _GATES[mode]
+    k_ih, k_hh = jax.random.split(key)
+    # torch xavier_normal_ on weight_ih [n*h, in]: fans are (in, n*h)
+    w_ih = _xavier_normal(k_ih, (input_size, n * hidden_size),
+                          fan_in=input_size, fan_out=n * hidden_size, dtype=dtype)
+    w_hh = _orthogonal_gates(k_hh, hidden_size, n, dtype)
+    b_ih = jnp.zeros((n * hidden_size,), dtype)
+    b_hh = jnp.zeros((n * hidden_size,), dtype)
+    if mode == "LSTM":
+        # forget-gate bias 0.5 on each bias vector (util.py:100-104)
+        fb = jnp.zeros_like(b_ih).at[hidden_size:2 * hidden_size].set(0.5)
+        b_ih = b_ih + fb
+        b_hh = b_hh + fb
+    return {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b_ih, "b_hh": b_hh}
+
+
+# --------------------------------------------------------------------------
+# single-step cells (decoder path; reference RNNCellBase util.py:1650-1661)
+# --------------------------------------------------------------------------
+def lstm_step(p: Params, x, h, c):
+    gates = x @ p["w_ih"] + h @ p["w_hh"] + p["b_ih"] + p["b_hh"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    return h2, c2
+
+
+def gru_step(p: Params, x, h):
+    gi = x @ p["w_ih"] + p["b_ih"]
+    gh = h @ p["w_hh"] + p["b_hh"]
+    ir, iz, inn = jnp.split(gi, 3, axis=-1)
+    hr, hz, hn = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(ir + hr)
+    z = jax.nn.sigmoid(iz + hz)
+    n = jnp.tanh(inn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def rnn_step(p: Params, x, h, act):
+    return act(x @ p["w_ih"] + h @ p["w_hh"] + p["b_ih"] + p["b_hh"])
+
+
+# --------------------------------------------------------------------------
+# full-sequence scans with length masking
+# --------------------------------------------------------------------------
+def _scan_lstm(p: Params, x, mask, h0, c0):
+    """x [B, T, D], mask [B, T] float; returns (y [B, T, H], (hT, cT))."""
+    B, T, _ = x.shape
+    # hoist the input matmul out of the scan: one big MXU op
+    xg = (x.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]).reshape(B, T, -1)
+
+    def body(carry, inp):
+        h, c = carry
+        xg_t, m_t = inp
+        gates = xg_t + h @ p["w_hh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+        m = m_t[:, None]
+        h = m * h2 + (1.0 - m) * h
+        c = m * c2 + (1.0 - m) * c
+        return (h, c), h2 * m
+
+    (hT, cT), ys = jax.lax.scan(
+        body, (h0, c0), (jnp.swapaxes(xg, 0, 1), jnp.swapaxes(mask, 0, 1)))
+    return jnp.swapaxes(ys, 0, 1), (hT, cT)
+
+
+def _scan_gru(p: Params, x, mask, h0):
+    B, T, _ = x.shape
+    gi = (x.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"]).reshape(B, T, -1)
+
+    def body(h, inp):
+        gi_t, m_t = inp
+        gh = h @ p["w_hh"] + p["b_hh"]
+        ir, iz, inn = jnp.split(gi_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(inn + r * hn)
+        h2 = (1.0 - z) * n + z * h
+        m = m_t[:, None]
+        h = m * h2 + (1.0 - m) * h
+        return h, h2 * m
+
+    hT, ys = jax.lax.scan(body, h0, (jnp.swapaxes(gi, 0, 1), jnp.swapaxes(mask, 0, 1)))
+    return jnp.swapaxes(ys, 0, 1), hT
+
+
+def _scan_rnn(p: Params, x, mask, h0, act):
+    B, T, _ = x.shape
+    gi = (x.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]).reshape(B, T, -1)
+
+    def body(h, inp):
+        gi_t, m_t = inp
+        h2 = act(gi_t + h @ p["w_hh"])
+        m = m_t[:, None]
+        h = m * h2 + (1.0 - m) * h
+        return h, h2 * m
+
+    hT, ys = jax.lax.scan(body, h0, (jnp.swapaxes(gi, 0, 1), jnp.swapaxes(mask, 0, 1)))
+    return jnp.swapaxes(ys, 0, 1), hT
+
+
+def reverse_sequence(x, lens, max_len: Optional[int] = None):
+    """Reverse the valid prefix of each row of x [B, T, ...] in time.
+
+    Replaces cuDNN's packed backward pass: position t < len maps to
+    len-1-t; padding positions keep themselves (they are masked anyway).
+    """
+    T = x.shape[1] if max_len is None else max_len
+    pos = jnp.arange(T, dtype=jnp.int32)[None, :]                      # [1, T]
+    lens = lens.astype(jnp.int32)[:, None]                             # [B, 1]
+    idx = jnp.where(pos < lens, lens - 1 - pos, pos)                   # [B, T]
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, jnp.broadcast_to(idx, x.shape[:2] + x.shape[2:]), axis=1)
+
+
+def rnn_layer(mode: str, p: Params, x, mask, state=None):
+    """One unidirectional layer. x [B,T,D], mask [B,T] -> (y [B,T,H], state).
+
+    state: (h, c) for LSTM else h, each [B, H]; zeros if None.
+    """
+    B, T, _ = x.shape
+    H = p["w_hh"].shape[0]
+    if mode == "LSTM":
+        if state is None:
+            state = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+        return _scan_lstm(p, x, mask, *state)
+    if state is None:
+        state = jnp.zeros((B, H), x.dtype)
+    if mode == "GRU":
+        return _scan_gru(p, x, mask, state)
+    act = jnp.tanh if mode == "RNN_TANH" else jax.nn.relu
+    return _scan_rnn(p, x, mask, state, act)
+
+
+def bidir_rnn_layer(mode: str, p_fwd: Params, p_bwd: Params, x, lens, mask):
+    """Bidirectional layer -> (y [B,T,2H], state_fwd, state_bwd)."""
+    y_f, s_f = rnn_layer(mode, p_fwd, x, mask)
+    x_r = reverse_sequence(x, lens)
+    y_b, s_b = rnn_layer(mode, p_bwd, x_r, mask)
+    y_b = reverse_sequence(y_b, lens)
+    return jnp.concatenate([y_f, y_b], axis=-1), s_f, s_b
+
+
+# --------------------------------------------------------------------------
+# residual multi-layer stack (reference RNN_RES util.py:1149-1324)
+# --------------------------------------------------------------------------
+def init_rnn_stack(key, mode: str, input_size: int, hidden_size: int,
+                   num_layers: int, bidirectional: bool, dtype=jnp.float32
+                   ) -> List[Params]:
+    """Layer i>0 consumes num_directions*hidden (util.py:1157-1160)."""
+    nd = 2 if bidirectional else 1
+    keys = jax.random.split(key, num_layers * nd)
+    layers = []
+    for i in range(num_layers):
+        in_sz = input_size if i == 0 else nd * hidden_size
+        layer = {"fwd": init_rnn_layer(keys[i * nd], mode, in_sz, hidden_size, dtype)}
+        if bidirectional:
+            layer["bwd"] = init_rnn_layer(keys[i * nd + 1], mode, in_sz, hidden_size, dtype)
+        layers.append(layer)
+    return layers
+
+
+def rnn_stack(mode: str, layers: List[Params], x, lens, mask,
+              residual: bool = True, skip_step: int = 0):
+    """Residual stack: y_i added onto the running sum from layer 1 on
+    (util.py:1284-1291).  Returns (y, last_layer_states) where
+    last_layer_states is ((h_f, c_f), (h_b, c_b)) for bidir LSTM, etc.
+
+    skip_step > 0 subsamples time between layers (util.py:1294-1316);
+    static Python control flow — shapes stay static under jit.
+    """
+    states = None
+    for i, layer in enumerate(layers):
+        if "bwd" in layer:
+            y, s_f, s_b = bidir_rnn_layer(mode, layer["fwd"], layer["bwd"], x, lens, mask)
+            states = (s_f, s_b)
+        else:
+            y, s = rnn_layer(mode, layer["fwd"], x, mask)
+            states = (s,)
+        x = x + y if (residual and i > 0) else y
+        if skip_step > 0 and i < len(layers) - 1:
+            x = x[:, ::skip_step]
+            lens = jnp.maximum(lens // skip_step, 1)
+            mask = mask[:, ::skip_step]
+    return x, states, lens, mask
+
+
+# --------------------------------------------------------------------------
+# decoder cell stack (reference RNNCellBase util.py:1624-1661)
+# --------------------------------------------------------------------------
+def init_cell_stack(key, mode: str, input_size: int, hidden_size: int,
+                    num_layers: int, dtype=jnp.float32) -> List[Params]:
+    keys = jax.random.split(key, num_layers)
+    return [init_rnn_layer(keys[i], mode,
+                           input_size if i == 0 else hidden_size,
+                           hidden_size, dtype)
+            for i in range(num_layers)]
+
+
+def cell_stack_step(mode: str, layers: List[Params], x,
+                    state: Optional[List]) -> List:
+    """One decode step through the layer stack; returns new per-layer state
+    list ((h,c) tuples for LSTM, h arrays otherwise)."""
+    if state is None:
+        state = [None] * len(layers)
+    new_states = []
+    for i, p in enumerate(layers):
+        H = p["w_hh"].shape[0]
+        B = x.shape[0]
+        if mode == "LSTM":
+            s = state[i] if state[i] is not None else (
+                jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+            h, c = lstm_step(p, x, s[0], s[1])
+            new_states.append((h, c))
+            x = h
+        elif mode == "GRU":
+            s = state[i] if state[i] is not None else jnp.zeros((B, H), x.dtype)
+            h = gru_step(p, x, s)
+            new_states.append(h)
+            x = h
+        else:
+            s = state[i] if state[i] is not None else jnp.zeros((B, H), x.dtype)
+            act = jnp.tanh if mode == "RNN_TANH" else jax.nn.relu
+            h = rnn_step(p, x, s, act)
+            new_states.append(h)
+            x = h
+    return new_states

@@ -1,0 +1,21 @@
+"""Test config: force the CPU backend with 8 virtual devices so the unit
+tier and the multi-chip sharding tests run anywhere (no TPU needed)."""
+
+import os
+
+# JAX_PLATFORMS alone is ignored when a PJRT plugin (e.g. the TPU tunnel)
+# registers itself; the legacy var + explicit config below both work.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
