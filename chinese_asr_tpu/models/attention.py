@@ -82,3 +82,35 @@ def attend(p: Params, cfg: AttentionConfig, mask, hidden_state, keys, values
     if "linear_map" in p:
         context = context @ p["linear_map"]
     return context, align
+
+
+def attend_beam(p: Params, cfg: AttentionConfig, mask, hidden_state, keys, values
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-shaped attention read: k beams per sample share one copy of
+    keys/values.
+
+    The reference tiles enc/keys/values to B*k rows and then *reorders all
+    of them every step* (reference model.py:913-916) — but beams of a sample
+    are tiled copies, so that reorder moves identical rows; here the beam
+    dim lives only on the query and the shared tensors are never tiled or
+    shuffled (SURVEY section 3.4's idiomatic fix).
+
+    mask [B, L]; hidden_state [B, k, H]; keys [B, L, a]; values [B, L, d].
+    Returns (context [B, k, ctx], alignment [B, k, L]).
+    """
+    q = hidden_state @ p["w_hidden"]                      # [B, k, a]
+    e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :]) * p["v"]  # [B,k,L,a]
+    if cfg.heads == 1:
+        scores = e.sum(axis=-1)                           # [B, k, L]
+        align = jax.nn.softmax(mask[:, None, :] + scores, axis=-1)
+        context = jnp.einsum("bkl,bld->bkd", align, values)
+        return context, align
+    B, k, L, a = e.shape
+    n = cfg.heads
+    scores = e.reshape(B, k, L, n, a // n).sum(axis=-1)   # [B, k, L, n]
+    align = jax.nn.softmax(mask[:, None, :, None] + scores, axis=2)
+    v_h = values.reshape(B, L, n, -1)
+    context = jnp.einsum("bkln,blnd->bknd", align, v_h).reshape(B, k, -1)
+    if "linear_map" in p:
+        context = context @ p["linear_map"]
+    return context, align[..., 0]

@@ -114,3 +114,38 @@ def decoder_step(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionConfig,
         else:
             logit = ahs @ p["proj_w"] + p["proj_b"]
     return DecoderOut(logit, ahs, alignment, cell_state)
+
+
+def decoder_step_beam(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionConfig,
+                      mask, keys, values, token, cell_state, attn_hidden_state
+                      ) -> DecoderOut:
+    """Beam variant: cells run on flat [B*k] rows, attention on untiled
+    per-sample keys/values via ``attend_beam`` (no tiled enc tensors at all).
+
+    mask [B, L]; keys [B, L, a]; values [B, L, d]; token [B*k];
+    attn_hidden_state [B*k, ctx]; cell_state per-layer over [B*k] rows.
+    """
+    B = mask.shape[0]
+    k = token.shape[0] // B
+    x = p["embedding"][token]                             # [B*k, embed]
+    if dcfg.input_feeding:
+        x = jnp.concatenate([x, attn_hidden_state], axis=1)
+
+    cell_state = rnn_ops.cell_stack_step(dcfg.decoder_type, p["cells"], x, cell_state)
+    last = cell_state[-1]
+    last_h = last[0] if dcfg.decoder_type == "LSTM" else last
+
+    context, alignment = attn_ops.attend_beam(
+        attn_p, acfg, mask, last_h.reshape(B, k, -1), keys, values)
+    context = context.reshape(B * k, -1)
+
+    if acfg.attn_type == "L":
+        ahs = jnp.tanh(jnp.concatenate([last_h, context], axis=1) @ p["attn_hidden_w"])
+    else:
+        ahs = context
+
+    if acfg.attn_type == "B":
+        logit = jnp.concatenate([last_h, ahs], axis=-1) @ p["proj_w"] + p["proj_b"]
+    else:
+        logit = ahs @ p["proj_w"] + p["proj_b"]
+    return DecoderOut(logit, ahs, alignment.reshape(B * k, -1), cell_state)

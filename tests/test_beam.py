@@ -1,0 +1,115 @@
+"""Beam search: the compiled while_loop must reproduce the independent
+tiled numpy implementation of the reference semantics (model.py:604-987) —
+same n-best sets, same survivors, same early stop — at several beam widths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.decode import beam, greedy
+from chinese_asr_tpu.vocab import Vocab
+from chinese_asr_tpu.models import las
+
+import ref_numpy
+
+
+SMALL = (Config()
+         .with_("audio", n_mels=8, delta_delta=False, downsample=False)
+         .with_("encoder", hidden_size=16, num_layers=2)
+         .with_("decoder", hidden_size=32, embed_dim=12)
+         .with_("attention", attn_size=8)
+         .with_("vocab", max_num_words=20)
+         .with_("decode", max_len=10))
+
+
+def make_inputs(cfg, seed, B=3, T=9):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(B, T, cfg.audio.feat_dim).astype(np.float32)
+    lens = np.array([T, T - 3, T - 1][:B], np.int32)
+    for i, l in enumerate(lens):
+        feats[i, l:] = 0.0
+    return feats, lens
+
+
+def collect_jax_nbest(res):
+    out = {}
+    fin_count = np.asarray(res.fin_count)
+    fin_tokens = np.asarray(res.fin_tokens)
+    fin_lens = np.asarray(res.fin_lens)
+    fin_scores = np.asarray(res.fin_scores)
+    for b in range(fin_count.shape[0]):
+        out[b] = [(fin_tokens[b, i, : fin_lens[b, i]].tolist(),
+                   float(fin_scores[b, i]))
+                  for i in range(int(fin_count[b]))]
+    return out
+
+
+@pytest.mark.parametrize("bw,seed", [(2, 0), (4, 1), (4, 2), (8, 3)])
+def test_beam_matches_numpy_reference(bw, seed):
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(seed), cfg)
+    feats, lens = make_inputs(cfg, seed)
+
+    res = beam.beam_decode_jit(params, cfg, bw, jnp.asarray(feats), jnp.asarray(lens))
+    ref_fin, ref_hist, ref_scores, ref_l = ref_numpy.numpy_beam(
+        params, cfg, bw, feats, lens)
+
+    got_fin = collect_jax_nbest(res)
+    B = feats.shape[0]
+    assert int(res.l_final) == ref_l
+    for b in range(B):
+        ref_h = ref_fin.get(b, [])
+        got_h = got_fin[b]
+        assert len(got_h) == len(ref_h), (b, got_h, ref_h)
+        for (gt, gs), (rt, rs) in zip(got_h, ref_h):
+            assert gt == rt
+            assert abs(gs - rs) < 1e-3
+
+    # live beams match (only checked when the loop ran to exhaustion;
+    # on early stop the reference keeps pre-update state, as do we)
+    live = np.asarray(res.live_tokens).reshape(B * bw, -1)
+    np.testing.assert_array_equal(live[:, :ref_l + 1],
+                                  ref_hist[:, 1:ref_l + 2])
+    np.testing.assert_allclose(np.asarray(res.live_scores).reshape(-1),
+                               ref_scores, atol=1e-3)
+
+
+def test_beam_width1_matches_greedy_text():
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(5), cfg)
+    feats, lens = make_inputs(cfg, 5)
+    vocab = Vocab.build(["abcdefghijklmnopqrst"], max_num_words=cfg.vocab.max_num_words)
+
+    g = greedy.greedy_decode_jit(params, cfg, jnp.asarray(feats), jnp.asarray(lens))
+    g_out = greedy.finalize_greedy(g, vocab)
+    b = beam.beam_decode_jit(params, cfg, 1, jnp.asarray(feats), jnp.asarray(lens))
+    b_out = beam.finalize_beam(b, cfg, vocab)
+    assert b_out.pred_text == g_out.pred_text
+
+
+def test_second_pass_rescoring_selects_lm_favorite():
+    """Second-pass selection: logp + w*lm + w*len argmax (model.py:749-763)."""
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(7), cfg)
+    feats, lens = make_inputs(cfg, 7)
+    vocab = Vocab.build(["abcdefghijklmnopqrst"], max_num_words=cfg.vocab.max_num_words)
+    res = beam.beam_decode_jit(params, cfg, 4, jnp.asarray(feats), jnp.asarray(lens))
+
+    class FavorLong:
+        def score(self, s, bos=True):
+            return float(len(s.split()))  # longer hypothesis -> higher lm
+
+    base = beam.finalize_beam(res, cfg, vocab)
+    resc = beam.finalize_beam(res, cfg, vocab, lm_model=FavorLong(),
+                              second_pass=True, lm_weight=100.0, length_weight=0.0)
+    fin = collect_jax_nbest(res)
+    for b_i in range(len(resc.pred_text)):
+        hyps = fin[b_i]
+        if len(hyps) > 1:
+            best_len = max(len(h[0]) for h in hyps)
+            # among longest hyps the rescorer must pick by logp + lm
+            assert len(resc.pred_text[b_i]) == best_len
+    assert base.n == resc.n
