@@ -1,0 +1,127 @@
+"""Device-mesh parallelism: SPMD sharding for decode and training.
+
+The reference is strictly single-device (SURVEY section 2.c: no
+torch.distributed / NCCL / launcher anywhere), so this module has no
+translation source — it is the TPU-native expression of the same
+capabilities at scale:
+
+* **Data parallel** over ICI: the batch dim (and the flattened B*k beam dim,
+  which lives inside it) is sharded across the ``data`` mesh axis; each
+  utterance is independent, so the decode hot loop needs zero collectives.
+* **Tensor parallel** over the ``model`` axis: the decoder's output
+  projection [H+ctx, V] and the embedding [V, E] are sharded on the vocab
+  dim — the two largest tensors (V=5004).  XLA inserts the psum /
+  all-gather at the loss and the embedding lookup.
+* Everything is ``jax.jit`` + ``NamedSharding``; no hand-written
+  collectives.  Mesh layout puts ``data`` on the outer (DCN-capable) axis
+  and ``model`` innermost so its collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..train.step import Batch
+
+
+def make_mesh(cfg: Config, devices=None) -> Mesh:
+    """Build a (data, model) mesh from MeshConfig; data_parallel == -1 means
+    "all remaining devices"."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    mp = max(1, cfg.mesh.model_parallel)
+    dp = cfg.mesh.data_parallel
+    if dp == -1:
+        dp = n // mp
+    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    return Mesh(devices.reshape(dp, mp),
+                (cfg.mesh.data_axis, cfg.mesh.model_axis))
+
+
+def param_pspecs(params, cfg: Config):
+    """PartitionSpec pytree: vocab-dim tensor parallelism on embedding /
+    output projection, everything else replicated (a ~15M-param model needs
+    no further sharding; see SURVEY section 2.c)."""
+    model = cfg.mesh.model_axis
+
+    def spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        name = names[-1] if names else ""
+        if name == "proj_w":
+            return P(None, model)
+        if name == "proj_b":
+            return P(model)
+        if name == "embedding":
+            return P(model, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def batch_pspecs(cfg: Config) -> Batch:
+    d = cfg.mesh.data_axis
+    return Batch(P(d), P(d), P(d), P(d), P(d))
+
+
+def _named(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), tree,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, cfg: Config, mesh: Mesh):
+    return jax.device_put(params, _named(mesh, param_pspecs(params, cfg)))
+
+
+def shard_batch(batch: Batch, cfg: Config, mesh: Mesh) -> Batch:
+    return jax.device_put(batch, _named(mesh, batch_pspecs(cfg)))
+
+
+# --------------------------------------------------------------------------
+# compiled SPMD programs
+# --------------------------------------------------------------------------
+def make_sharded_train_step(cfg: Config, tx, params, mesh: Mesh):
+    """jit the full train step over the mesh.  Param (and thus adam-moment)
+    shardings follow ``param_pspecs``; the batch is data-sharded.  Call with
+    host arrays or correctly-sharded device arrays."""
+    from ..train import step as step_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    bsh = _named(mesh, batch_pspecs(cfg))
+
+    def fn(params, opt_state, batch, rng):
+        return step_mod.train_step(params, opt_state, cfg, tx, batch, rng)
+
+    return jax.jit(fn, in_shardings=(psh, None, bsh, None),
+                   out_shardings=(psh, None, None),
+                   donate_argnums=(0, 1))
+
+
+def make_sharded_greedy(cfg: Config, params, mesh: Mesh):
+    from ..decode import greedy as greedy_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    d = NamedSharding(mesh, P(cfg.mesh.data_axis))
+
+    def fn(params, feats, feat_lens):
+        return greedy_mod.greedy_decode(params, cfg, feats, feat_lens)
+
+    return jax.jit(fn, in_shardings=(psh, d, d))
+
+
+def make_sharded_beam(cfg: Config, bw: int, params, mesh: Mesh):
+    from ..decode import beam as beam_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    d = NamedSharding(mesh, P(cfg.mesh.data_axis))
+
+    def fn(params, feats, feat_lens):
+        return beam_mod.beam_decode(params, cfg, bw, feats, feat_lens)
+
+    return jax.jit(fn, in_shardings=(psh, d, d))

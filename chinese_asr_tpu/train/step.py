@@ -1,0 +1,122 @@
+"""Compiled training step: teacher-forced decode as one ``lax.scan``.
+
+The reference trains by looping Python-side over ``PackedSequence`` time
+steps with a shrinking batch (reference model.py:414-453) and computing the
+label-smoothed CE over all steps at once (model.py:456-469).  On TPU the
+whole step — encoder, S decoder steps, loss, grads — is a single jitted
+program: fixed [B, S] token matrices + masks replace the packed shrinking
+batch, and scheduled sampling (model.py:434-443) is a per-step Bernoulli
+draw inside the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import decoder as dec_ops
+from ..models import las
+from .loss import label_smoothed_ce
+
+
+class Batch(NamedTuple):
+    """Teacher-forcing batch (collated by data.loader).
+
+    feats      [B, T, D]  zero-padded features
+    feat_lens  [B]        true feature lengths
+    tokens_in  [B, S]     <s> + text            (reference data.py:485-487)
+    tokens_out [B, S]     text + </s>
+    text_lens  [B]        true lengths of tokens_out (incl. eos)
+    """
+
+    feats: jnp.ndarray
+    feat_lens: jnp.ndarray
+    tokens_in: jnp.ndarray
+    tokens_out: jnp.ndarray
+    text_lens: jnp.ndarray
+
+
+def forward_logits(params, cfg: Config, batch: Batch,
+                   rng: Optional[jax.Array] = None,
+                   ss: float = 0.0) -> jnp.ndarray:
+    """Teacher-forced logits [B, S, V] for the whole target matrix.
+
+    ss > 0 enables scheduled sampling: with probability ss the input token
+    at step t>0 is the model's own argmax from step t-1 instead of gold
+    (reference model.py:434-443).
+    """
+    B, S = batch.tokens_in.shape
+    dcfg, acfg = cfg.decoder, cfg.attention
+    eb = las.encode(params, cfg, batch.feats, batch.feat_lens)
+    ctx = eb.values.shape[-1]
+
+    cell0 = eb.init_cell_state
+    if cell0 is None:
+        z = jnp.zeros((B, dcfg.hidden_size), batch.feats.dtype)
+        cell0 = [(z, z) if dcfg.decoder_type == "LSTM" else z] * dcfg.num_layers
+    attn0 = jnp.zeros((B, ctx), batch.feats.dtype)
+
+    use_ss = ss > 0.0 and rng is not None
+    if use_ss:
+        step_keys = jax.random.split(rng, S)
+    else:
+        step_keys = jnp.zeros((S, 2), jnp.uint32)
+
+    def body(carry, inp):
+        cell_state, attn_hidden, prev_pred = carry
+        gold_tok, key, t = inp
+        if use_ss:
+            coin = jax.random.bernoulli(key, ss, (B,))
+            tok = jnp.where(coin & (t > 0), prev_pred, gold_tok)
+        else:
+            tok = gold_tok
+        out = dec_ops.decoder_step(
+            params["decoder"], params["attention"], dcfg, acfg,
+            eb.mask, eb.keys, eb.values, tok, cell_state, attn_hidden)
+        pred = jnp.argmax(out.logit, axis=-1).astype(jnp.int32)
+        return (out.cell_state, out.attn_hidden_state, pred), out.logit
+
+    xs = (jnp.swapaxes(batch.tokens_in, 0, 1), step_keys,
+          jnp.arange(S, dtype=jnp.int32))
+    _, logits = jax.lax.scan(body, (cell0, attn0, batch.tokens_in[:, 0]), xs)
+    return jnp.swapaxes(logits, 0, 1)                      # [B, S, V]
+
+
+def loss_fn(params, cfg: Config, batch: Batch,
+            rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, Dict]:
+    logits = forward_logits(params, cfg, batch, rng, cfg.train.ss)
+    S = batch.tokens_out.shape[1]
+    mask = (jnp.arange(S)[None, :] < batch.text_lens[:, None])
+    loss = label_smoothed_ce(logits, batch.tokens_out, mask,
+                             cfg.train.label_smooth)
+    acc = ((jnp.argmax(logits, -1) == batch.tokens_out) * mask).sum() / \
+        jnp.maximum(mask.sum(), 1)
+    return loss, {"accuracy": acc, "num_tokens": mask.sum()}
+
+
+def train_step(params, opt_state, cfg: Config, tx, batch: Batch,
+               rng: Optional[jax.Array] = None):
+    """One update.  Returns (params, opt_state, metrics).
+
+    Non-finite losses skip the update entirely, replicating the reference's
+    NaN/Inf guard (model.py:473-475).
+    """
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch, rng)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, g: a + (g.astype(jnp.float32) ** 2).sum(), grads, 0.0) ** 0.5
+    finite = jnp.isfinite(loss)
+    grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    # skip: keep old state when loss was non-finite
+    new_params = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(finite, n, o), new_params, params)
+    new_opt_state = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state)
+    metrics = {"loss": loss, "grad_norm": gnorm, "skipped": ~finite, **aux}
+    return new_params, new_opt_state, metrics

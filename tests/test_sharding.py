@@ -1,0 +1,71 @@
+"""Multi-chip SPMD: the sharded train step and decode programs must compile
+and run on an 8-device (4 data x 2 model) CPU mesh and agree numerically
+with the single-device programs."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.decode import greedy
+from chinese_asr_tpu.models import las
+from chinese_asr_tpu.parallel import sharding
+from chinese_asr_tpu.train import optim
+from chinese_asr_tpu.train.step import train_step
+
+from test_train import SMALL, make_batch
+
+
+def mesh_cfg():
+    return SMALL.with_("mesh", data_parallel=4, model_parallel=2)
+
+
+def test_mesh_shapes():
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train)
+    opt_state = tx.init(params)
+    batch = make_batch(cfg, B=8)
+
+    p1, o1, m1 = jax.jit(
+        lambda p, o, b: train_step(p, o, cfg, tx, b))(params, opt_state, batch)
+
+    sp = sharding.shard_params(params, cfg, mesh)
+    sb = sharding.shard_batch(batch, cfg, mesh)
+    step = sharding.make_sharded_train_step(cfg, tx, params, mesh)
+    p2, o2, m2 = step(sp, tx.init(sp), sb, None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_greedy_matches_single_device():
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    params = las.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 8, 9
+    feats = rng.randn(B, T, cfg.audio.feat_dim).astype(np.float32)
+    lens = np.full(B, T, np.int32)
+
+    r1 = greedy.greedy_decode_jit(params, cfg, jnp.asarray(feats),
+                                  jnp.asarray(lens))
+    run = sharding.make_sharded_greedy(cfg, params, mesh)
+    sp = sharding.shard_params(params, cfg, mesh)
+    r2 = run(sp, jnp.asarray(feats), jnp.asarray(lens))
+
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    np.testing.assert_array_equal(np.asarray(r1.final_lens),
+                                  np.asarray(r2.final_lens))

@@ -1,0 +1,194 @@
+"""Training stack: loss formula, compiled train step, plateau LR,
+checkpoint manager, end-to-end overfit of one tiny batch."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.models import las
+from chinese_asr_tpu.train import optim
+from chinese_asr_tpu.train.loss import label_smoothed_ce
+from chinese_asr_tpu.train.step import Batch, loss_fn, train_step
+from chinese_asr_tpu.utils.checkpoint import (CheckpointManager, TrainVar,
+                                              load_checkpoint, save_checkpoint,
+                                              view_ckpt)
+
+SMALL = (Config()
+         .with_("audio", n_mels=8, delta_delta=False, downsample=False)
+         .with_("encoder", hidden_size=16, num_layers=2)
+         .with_("decoder", hidden_size=32, embed_dim=12)
+         .with_("attention", attn_size=8)
+         .with_("vocab", max_num_words=20)
+         .with_("train", label_smooth=0.1, base_lr=3e-3, l2_decay=0.0))
+
+
+def make_batch(cfg, seed=0, B=4, T=9, S=6):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(B, T, cfg.audio.feat_dim).astype(np.float32)
+    feat_lens = np.full(B, T, np.int32)
+    text = rng.randint(4, cfg.vocab.vocab_size, size=(B, S - 1))
+    tokens_in = np.concatenate(
+        [np.full((B, 1), cfg.vocab.sos), text], axis=1).astype(np.int32)
+    tokens_out = np.concatenate(
+        [text, np.full((B, 1), cfg.vocab.eos)], axis=1).astype(np.int32)
+    text_lens = np.full(B, S, np.int32)
+    return Batch(jnp.asarray(feats), jnp.asarray(feat_lens),
+                 jnp.asarray(tokens_in), jnp.asarray(tokens_out),
+                 jnp.asarray(text_lens))
+
+
+# --------------------------------------------------------------------------
+# loss
+# --------------------------------------------------------------------------
+def test_label_smoothing_matches_explicit_distribution():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(5, 11).astype(np.float32)
+    tgt = rng.randint(0, 11, size=5)
+    ls = 0.1
+    # explicit: -(sum_k q_k log p_k), q_tgt = 1-ls, q_other = ls/(K-1)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    K = 11
+    q = np.full((5, K), ls / (K - 1))
+    q[np.arange(5), tgt] = 1.0 - ls
+    expected = -(q * logp).sum(-1).mean()
+    got = label_smoothed_ce(jnp.asarray(logits), jnp.asarray(tgt),
+                            label_smooth=ls)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+def test_label_smoothing_zero_is_cross_entropy():
+    rng = np.random.RandomState(1)
+    logits = rng.randn(7, 9).astype(np.float32)
+    tgt = rng.randint(0, 9, size=7)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    expected = -logp[np.arange(7), tgt].mean()
+    got = label_smoothed_ce(jnp.asarray(logits), jnp.asarray(tgt),
+                            label_smooth=0.0)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# train step
+# --------------------------------------------------------------------------
+def test_train_step_overfits_tiny_batch():
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train)
+    opt_state = tx.init(params)
+    batch = make_batch(cfg)
+    step = jax.jit(lambda p, o, b: train_step(p, o, cfg, tx, b))
+    first = None
+    for i in range(30):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+    assert not bool(metrics["skipped"])
+
+
+def test_train_step_skips_nonfinite():
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train)
+    opt_state = tx.init(params)
+    batch = make_batch(cfg)
+    bad = batch._replace(feats=batch.feats.at[0, 0, 0].set(jnp.nan))
+    p2, o2, metrics = jax.jit(
+        lambda p, o, b: train_step(p, o, cfg, tx, b))(params, opt_state, bad)
+    assert bool(metrics["skipped"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scheduled_sampling_changes_logits_not_shapes():
+    cfg = SMALL.with_("train", ss=0.5)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg)
+    loss1, _ = loss_fn(params, cfg, batch, jax.random.PRNGKey(1))
+    loss2, _ = loss_fn(params, cfg.with_("train", ss=0.0), batch, None)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert abs(float(loss1) - float(loss2)) > 0  # sampling took effect
+
+
+# --------------------------------------------------------------------------
+# optimizers / LR control
+# --------------------------------------------------------------------------
+def test_adabound_converges_on_quadratic():
+    tx = optim.adabound(5e-2, final_lr=0.1)
+    params = {"w": jnp.asarray(np.array([3.0, -2.0], np.float32))}
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(lambda q: (q["w"] ** 2).sum())(p)
+        u, s = tx.update(g, s, p)
+        return jax.tree_util.tree_map(lambda a, b: a + b, p, u), s
+
+    for _ in range(300):
+        params, state = step(params, state)
+    assert float(jnp.abs(params["w"]).max()) < 0.05
+
+
+def test_plateau_lr_reduces_after_patience():
+    cfg = SMALL.with_("train", patience=2, factor=0.5, base_lr=1e-3,
+                      min_lr=1e-4, dec_rate_threshold=0.0)
+    pl = optim.PlateauLR(cfg.train)
+    assert not pl.step(0.5)          # improvement
+    assert not pl.step(0.6)          # no imprv 1
+    assert not pl.step(0.6)          # no imprv 2
+    assert pl.step(0.6)              # no imprv 3 > patience -> reduce
+    assert pl.lr == pytest.approx(5e-4)
+    assert not pl.step(0.4)          # new best resets
+
+
+def test_ramp_up():
+    assert optim.ramp_up_lr(1.0, 0, 10) == pytest.approx(0.1)
+    assert optim.ramp_up_lr(1.0, 9, 10) == pytest.approx(1.0)
+    assert optim.ramp_up_lr(1.0, 50, 10) == 1.0
+    assert optim.ramp_up_lr(1.0, 0, 0) == 1.0
+
+
+def test_set_get_lr():
+    cfg = SMALL
+    tx = optim.make_optimizer(cfg.train)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    state = tx.init(params)
+    assert optim.get_lr(state) == pytest.approx(cfg.train.base_lr)
+    state = optim.set_lr(state, 1e-4)
+    assert optim.get_lr(state) == pytest.approx(1e-4)
+
+
+# --------------------------------------------------------------------------
+# checkpointing
+# --------------------------------------------------------------------------
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tv = TrainVar(step=7, loss=1.5, best_wer=0.2, lr=1e-3)
+    path = str(tmp_path / "x.ckpt")
+    save_checkpoint(path, params, train_var=tv, config_json=cfg.to_json())
+    payload = load_checkpoint(path)
+    assert payload["train_var"].step == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(payload["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    names = view_ckpt(path)
+    assert len(names) == len(jax.tree_util.tree_leaves(params))
+
+
+def test_checkpoint_manager_best_latest(tmp_path):
+    m = CheckpointManager(str(tmp_path))
+    params = {"w": jnp.zeros((2,))}
+    m.save(100, 0.5, params)
+    m.save(200, 0.3, params)
+    m.save(300, 0.4, params)
+    assert m.latest_checkpoint().endswith("step-300_wer-0.40000.ckpt")
+    assert m.best_checkpoint().endswith("step-200_wer-0.30000.ckpt")
