@@ -1,0 +1,173 @@
+"""Public API / CLI (reference main.py).
+
+``ASR`` mirrors the reference service class (main.py:68-102) and its
+three-mode contract (README.md:4-11):
+
+  1. greedy                 ASR(ckpt)                      bw in (None, 0, 1)
+  2. beam search            ASR(ckpt, bw=4/8/16)
+  3. beam + LM second pass  ASR(ckpt, lm_path=..., bw>1)   rescore n-best
+
+The parse pipeline (main.py:27-65) becomes: [optional ffmpeg transcode] ->
+wav read + peak normalize (in-process ``sox --norm=-1``) -> device-side
+featurization with per-utterance instance norm (main.py:37, eps 1e-6) ->
+compiled greedy/beam decode -> host detokenize [+ n-gram rescoring].
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .audio import features
+from .config import Config
+from .data import audio_io
+from .decode import beam as beam_mod
+from .decode import greedy as greedy_mod
+from .lm import ngram
+from .models import las
+from .utils.checkpoint import load_checkpoint
+from .vocab import Vocab
+
+
+def _identity_vocab(n: int) -> Vocab:
+    """Fallback vocab rendering ids as <id> markers (debug/random-weights)."""
+    from .vocab import SPECIALS
+    word2int = {t: i for i, t in enumerate(SPECIALS)}
+    for i in range(4, n):
+        word2int[f"<{i}>"] = i
+    return Vocab(word2int, {i: w for w, i in word2int.items()})
+
+
+class ASR:
+    """Speech recognizer service (reference ASR, main.py:68-102)."""
+
+    def __init__(self, ckpt_path: Optional[str] = None,
+                 lm_path: Optional[str] = None,
+                 bw: Optional[int] = None,
+                 cfg: Optional[Config] = None,
+                 vocab: Union[Vocab, str, None] = None,
+                 wav_bucket: int = 16000):
+        self.cfg = cfg or Config()
+        self.bw = bw
+        self.wav_bucket = wav_bucket
+        # LM only loads for beam widths > 1 (main.py:78-84)
+        self.lm = ngram.load_lm(lm_path) if (lm_path and bw and bw > 1) else None
+
+        if isinstance(vocab, str):
+            self.vocab = Vocab.load(vocab)
+        elif isinstance(vocab, Vocab):
+            self.vocab = vocab
+        else:
+            self.vocab = _identity_vocab(self.cfg.vocab.vocab_size)
+
+        if ckpt_path is None:
+            self.params = las.init_params(jax.random.PRNGKey(0), self.cfg)
+        elif ckpt_path.endswith(".ckpt") and self._is_torch_ckpt(ckpt_path):
+            # one-way converter from the reference torch schema
+            self.params = las.load_torch_checkpoint(ckpt_path, self.cfg)
+        else:
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, load_checkpoint(ckpt_path)["params"])
+
+        self._feat_fns = {}
+
+    @staticmethod
+    def _is_torch_ckpt(path: str) -> bool:
+        """torch.save zip archives start with PK; our pickles don't."""
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        return magic == b"PK"
+
+    # ---- featurization ------------------------------------------------------
+    def _featurize(self, wavs: List[np.ndarray]):
+        from .data.dataset import round_up
+        N = round_up(max(1, max(len(w) for w in wavs)), self.wav_bucket)
+        mat = np.zeros((len(wavs), N), np.float32)
+        lens = np.zeros(len(wavs), np.int32)
+        for i, w in enumerate(wavs):
+            mat[i, : len(w)] = w
+            lens[i] = len(w)
+        fn = self._feat_fns.get(N)
+        if fn is None:
+            cfg = self.cfg.audio
+            # per-utterance norm eps matches reference main.py:37 (1e-6)
+            fn = jax.jit(lambda w, l: features.featurize_batch(
+                w, l, cfg, norm_eps=1e-6))
+            self._feat_fns[N] = fn
+        feats, feat_lens = fn(jnp.asarray(mat), jnp.asarray(lens))
+        # degenerate (shorter than one frame) utterances: attend to one
+        # zero frame instead of an empty (all -inf softmax mask) memory
+        return feats, jnp.maximum(feat_lens, 1)
+
+    # ---- transcription ------------------------------------------------------
+    def transcribe_wavs(self, wavs: Sequence[np.ndarray]) -> List[str]:
+        feats, feat_lens = self._featurize([np.asarray(w, np.float32)
+                                            for w in wavs])
+        if not self.bw or self.bw <= 1:
+            res = greedy_mod.greedy_decode_jit(self.params, self.cfg,
+                                               feats, feat_lens)
+            out = greedy_mod.finalize_greedy(res, self.vocab)
+            return out.pred_text
+        res = beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
+                                       feats, feat_lens)
+        out = beam_mod.finalize_beam(
+            res, self.cfg, self.vocab,
+            lm_model=self.lm, second_pass=self.lm is not None,
+            lm_weight=self.cfg.decode.lm_weight,
+            length_weight=self.cfg.decode.length_weight)
+        return out.pred_text
+
+    def transcribe_files(self, paths: Sequence[str],
+                         transcode: bool = False) -> List[str]:
+        wavs = []
+        for p in paths:
+            if transcode or not p.lower().endswith(".wav"):
+                with tempfile.NamedTemporaryFile(suffix=".wav",
+                                                 delete=False) as tf:
+                    tmp = tf.name
+                try:
+                    audio_io.transcode(p, tmp, self.cfg.audio.sample_rate)
+                    wav, _ = audio_io.read_wav(tmp, self.cfg.audio.sample_rate)
+                finally:
+                    os.unlink(tmp)
+            else:
+                wav, _ = audio_io.read_wav(p, self.cfg.audio.sample_rate)
+                wav = audio_io.peak_normalize(wav)   # sox --norm=-1 parity
+            wavs.append(wav)
+        return self.transcribe_wavs(wavs)
+
+    def __call__(self, path: str) -> str:
+        """One utterance in, transcript out (main.py:100-102)."""
+        return self.transcribe_files([path])[0]
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """CLI — the argparse interface the reference sketches but comments out
+    (main.py:107-120)."""
+    import argparse
+    ap = argparse.ArgumentParser(description="chinese_asr_tpu transcriber")
+    ap.add_argument("--wav", required=True, nargs="+", help="wav file(s)")
+    ap.add_argument("--ckpt", default=None, help="checkpoint path "
+                    "(framework .ckpt or reference torch .ckpt)")
+    ap.add_argument("--vocab", default=None, help="dict.pkl path")
+    ap.add_argument("--lm", default=None, help="ARPA n-gram LM path")
+    ap.add_argument("--bw", type=int, default=None, help="beam width")
+    ap.add_argument("--transcode", action="store_true",
+                    help="force ffmpeg ingest")
+    args = ap.parse_args(argv)
+
+    asr = ASR(ckpt_path=args.ckpt, lm_path=args.lm, bw=args.bw,
+              vocab=args.vocab)
+    for path, text in zip(args.wav,
+                          asr.transcribe_files(args.wav, args.transcode)):
+        print(f"{path}\t{text}")
+
+
+if __name__ == "__main__":
+    main()

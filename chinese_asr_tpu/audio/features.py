@@ -225,7 +225,8 @@ def featurize_batch(wavs, wav_lens, cfg: AudioConfig, norm_eps: float = 1e-7):
     """
     B, N = wavs.shape
     T = int(num_frames(N, cfg))
-    valid_frames = num_frames(wav_lens, cfg)              # [B]
+    # clamp: wavs shorter than one frame yield 0 valid frames, not negative
+    valid_frames = jnp.maximum(num_frames(wav_lens, cfg), 0)  # [B]
     fmask = (jnp.arange(T)[None, :] < valid_frames[:, None]).astype(wavs.dtype)
     feats = featurize(wavs, T, cfg, frame_mask=fmask)     # [B, T', D]
     feat_lens = valid_frames // 3 if cfg.downsample else valid_frames

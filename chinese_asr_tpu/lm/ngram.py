@@ -1,0 +1,267 @@
+"""N-gram language model: first-party replacement for the kenlm dependency.
+
+The reference loads a KenLM binary model and calls
+``lm_model.score(' '.join(chars), bos=True)`` during second-pass rescoring
+(reference main.py:82, model.py:749-763) and uses the incremental
+``BaseScore`` state API in its first-pass-LM decode (model.py:1131-1180).
+Here the scorer is first-party:
+
+* ``NgramLM`` — loads an **ARPA** file through the C++ kernel
+  (runtime/cpp/ngram_lm.cpp, ctypes ABI) with a pure-Python fallback.
+  API mirrors kenlm: ``score(sentence, bos=True, eos=True)`` returns the
+  sum of log10 conditional probabilities with Katz backoff; ``base_score``
+  is the incremental variant.
+* ``score_batch`` scores a whole n-best list in one FFI call — the
+  batched host-side rescoring path for the v5e service config
+  (SURVEY.md section 2.b).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..runtime import native
+
+
+class PyNgramLM:
+    """Pure-Python ARPA scorer (fallback + differential-test oracle)."""
+
+    def __init__(self, path: str):
+        self.grams: Dict[Tuple[str, ...], Tuple[float, float]] = {}
+        self.order = 0
+        cur = 0
+        with open(path, "r", encoding="utf-8") as f:
+            section = None
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line == "\\data\\":
+                    section = "data"
+                    continue
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    cur = int(line[1:line.index("-")])
+                    self.order = max(self.order, cur)
+                    section = "grams"
+                    continue
+                if line == "\\end\\":
+                    break
+                if section == "data":
+                    continue
+                if section == "grams":
+                    parts = line.split()
+                    if len(parts) < cur + 1:
+                        continue
+                    logp = float(parts[0])
+                    words = tuple(parts[1:1 + cur])
+                    backoff = float(parts[cur + 1]) if len(parts) >= cur + 2 \
+                        else 0.0
+                    self.grams[words] = (logp, backoff)
+        self.has_unk = ("<unk>",) in self.grams
+
+    def _vocab_map(self, w: str) -> str:
+        if (w,) in self.grams or w in ("<s>", "</s>"):
+            return w
+        return "<unk>" if self.has_unk else w
+
+    def _score_one(self, ctx: Tuple[str, ...], w: str) -> float:
+        ctx = ctx[-(self.order - 1):] if self.order > 1 else ()
+        backoff_sum = 0.0
+        for use in range(len(ctx), -1, -1):
+            key = ctx[len(ctx) - use:] + (w,)
+            if key in self.grams:
+                return backoff_sum + self.grams[key][0]
+            if use > 0:
+                c = ctx[len(ctx) - use:]
+                if c in self.grams:
+                    backoff_sum += self.grams[c][1]
+        if self.has_unk:
+            return backoff_sum + self.grams[("<unk>",)][0]
+        return -100.0
+
+    def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
+        words = [self._vocab_map(w) for w in sentence.split()]
+        ctx: Tuple[str, ...] = ("<s>",) if bos else ()
+        total = 0.0
+        for w in words:
+            total += self._score_one(ctx, w)
+            ctx = (ctx + (w,))[-(self.order - 1):] if self.order > 1 else ()
+        if eos:
+            total += self._score_one(ctx, "</s>")
+        return total
+
+
+# ----------------------------------------------------------------------------
+# ctypes binding to the C++ kernel
+# ----------------------------------------------------------------------------
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    src = os.path.join(os.path.dirname(native.__file__), "cpp", "ngram_lm.cpp")
+    so = native._compile(src, "ngram_lm")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.lm_load_arpa.restype = ctypes.c_void_p
+    lib.lm_load_arpa.argtypes = [ctypes.c_char_p]
+    lib.lm_free.argtypes = [ctypes.c_void_p]
+    lib.lm_order.restype = ctypes.c_int32
+    lib.lm_order.argtypes = [ctypes.c_void_p]
+    lib.lm_num_ngrams.restype = ctypes.c_int64
+    lib.lm_num_ngrams.argtypes = [ctypes.c_void_p]
+    lib.lm_vocab_id.restype = ctypes.c_int64
+    lib.lm_vocab_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lm_score_ids.restype = ctypes.c_double
+    lib.lm_score_ids.argtypes = [ctypes.c_void_p, _u32p, ctypes.c_int32,
+                                 ctypes.c_int32, ctypes.c_int32]
+    lib.lm_score_batch.restype = None
+    lib.lm_score_batch.argtypes = [ctypes.c_void_p, _u32p, _i64p,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_int32, _f64p]
+    lib.lm_state_capacity.restype = ctypes.c_int32
+    lib.lm_state_capacity.argtypes = [ctypes.c_void_p]
+    lib.lm_base_score.restype = ctypes.c_double
+    lib.lm_base_score.argtypes = [ctypes.c_void_p, _u32p, ctypes.c_int32,
+                                  ctypes.c_uint32, _u32p,
+                                  ctypes.POINTER(ctypes.c_int32)]
+    lib.lm_bos_id.restype = ctypes.c_uint32
+    lib.lm_bos_id.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_lib_cache = {"lib": None, "tried": False}
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    if not _lib_cache["tried"]:
+        _lib_cache["tried"] = True
+        try:
+            _lib_cache["lib"] = _load_lib()
+        except Exception:
+            _lib_cache["lib"] = None
+    return _lib_cache["lib"]
+
+
+class State:
+    """Opaque LM context (kenlm.State parity)."""
+
+    __slots__ = ("ids",)
+
+    def __init__(self, ids: Tuple[int, ...] = ()):
+        self.ids = tuple(ids)
+
+
+class NgramLM:
+    """ARPA n-gram LM, C++-backed when the toolchain is available."""
+
+    def __init__(self, path: str):
+        self.path = path
+        lib = _lib()
+        self._h = None
+        self._py: Optional[PyNgramLM] = None
+        if lib is not None:
+            h = lib.lm_load_arpa(path.encode("utf-8"))
+            if h:
+                self._h = ctypes.c_void_p(h)
+                self._lib = lib
+                self.order = int(lib.lm_order(self._h))
+                self._id_cache: Dict[str, int] = {}
+                return
+        self._py = PyNgramLM(path)
+        self.order = self._py.order
+
+    # ---- helpers -----------------------------------------------------------
+    def _ids(self, words: Sequence[str]) -> np.ndarray:
+        cache = self._id_cache
+        lib = self._lib
+        out = np.empty(len(words), np.uint32)
+        for i, w in enumerate(words):
+            v = cache.get(w)
+            if v is None:
+                v = int(lib.lm_vocab_id(self._h, w.encode("utf-8")))
+                if v < 0:
+                    v = 0
+                cache[w] = v
+            out[i] = v
+        return out
+
+    # ---- kenlm-parity API --------------------------------------------------
+    def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
+        if self._py is not None:
+            return self._py.score(sentence, bos, eos)
+        ids = self._ids(sentence.split())
+        p = ids.ctypes.data_as(_u32p)
+        return float(self._lib.lm_score_ids(self._h, p, len(ids),
+                                            int(bos), int(eos)))
+
+    def score_batch(self, sentences: List[str], bos: bool = True,
+                    eos: bool = True) -> np.ndarray:
+        """One FFI call for a whole n-best list."""
+        if self._py is not None:
+            return np.array([self._py.score(s, bos, eos) for s in sentences])
+        id_lists = [self._ids(s.split()) for s in sentences]
+        offsets = np.zeros(len(sentences) + 1, np.int64)
+        np.cumsum([len(x) for x in id_lists], out=offsets[1:])
+        flat = np.concatenate(id_lists) if offsets[-1] else \
+            np.zeros(1, np.uint32)
+        out = np.zeros(len(sentences), np.float64)
+        self._lib.lm_score_batch(
+            self._h, flat.ctypes.data_as(_u32p),
+            offsets.ctypes.data_as(_i64p), len(sentences),
+            int(bos), int(eos), out.ctypes.data_as(_f64p))
+        return out
+
+    def begin_state(self) -> State:
+        """State containing <s> (kenlm BeginSentenceWrite)."""
+        if self._py is not None:
+            return State(("<s>",))
+        return State((int(self._lib.lm_bos_id(self._h)),))
+
+    def null_state(self) -> State:
+        return State(())
+
+    def base_score(self, state: State, word: str) -> Tuple[float, State]:
+        """Incremental score of one word given a context state
+        (kenlm BaseScore parity; reference model.py:1140-1179)."""
+        if self._py is not None:
+            ctx = tuple(self._py._vocab_map(w) for w in state.ids)
+            w = self._py._vocab_map(word)
+            s = self._py._score_one(ctx, w)
+            new = (ctx + (w,))[-(self.order - 1):] if self.order > 1 else ()
+            return s, State(new)
+        cap = max(1, self.order - 1)
+        in_ids = np.asarray(state.ids, np.uint32)
+        out_ids = np.zeros(cap, np.uint32)
+        out_len = ctypes.c_int32(0)
+        wid = self._ids([word])[0]
+        in_p = in_ids.ctypes.data_as(_u32p) if in_ids.size else \
+            ctypes.cast(0, _u32p)
+        s = self._lib.lm_base_score(self._h, in_p, len(state.ids),
+                                    int(wid), out_ids.ctypes.data_as(_u32p),
+                                    ctypes.byref(out_len))
+        return float(s), State(tuple(int(x) for x in out_ids[: out_len.value]))
+
+    def num_ngrams(self) -> int:
+        if self._py is not None:
+            return len(self._py.grams)
+        return int(self._lib.lm_num_ngrams(self._h))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            try:
+                self._lib.lm_free(h)
+            except Exception:
+                pass
+
+
+def load_lm(path: Optional[str]):
+    """Reference main.py:78-84: None path -> no LM."""
+    return None if not path else NgramLM(path)

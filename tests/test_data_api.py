@@ -1,0 +1,205 @@
+"""Data pipeline (io, augmentation, manifest/dataset/sampler/loader) and
+the ASR API three-mode contract on synthetic wavs."""
+
+import numpy as np
+import pytest
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.data import audio_io, augment, dataset
+from chinese_asr_tpu.vocab import Vocab
+
+SMALL = (Config()
+         .with_("encoder", hidden_size=16, num_layers=2)
+         .with_("decoder", hidden_size=32, embed_dim=12)
+         .with_("attention", attn_size=8)
+         .with_("vocab", max_num_words=20)
+         .with_("decode", max_len=8)
+         .with_("train", batch_size=2, eval_batch_size=2))
+
+
+# --------------------------------------------------------------------------
+# audio io
+# --------------------------------------------------------------------------
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    x = (0.3 * rng.randn(16000)).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, x, 16000)
+    y, rate = audio_io.read_wav(p, 16000)
+    assert rate == 16000
+    np.testing.assert_allclose(y, x, atol=2.0 / 32768)
+
+
+def test_peak_normalize():
+    x = np.array([0.1, -0.25, 0.2], np.float32)
+    y = audio_io.peak_normalize(x, -1.0)
+    assert abs(np.abs(y).max() - 10 ** (-1 / 20)) < 1e-6
+    assert np.all(audio_io.peak_normalize(np.zeros(5, np.float32)) == 0)
+
+
+def test_rate_mismatch_warns(tmp_path):
+    p = str(tmp_path / "b.wav")
+    audio_io.write_wav(p, np.zeros(800, np.float32), 8000)
+    with pytest.warns(UserWarning):
+        audio_io.read_wav(p, 16000)
+
+
+# --------------------------------------------------------------------------
+# augmentation (reference data.py:283-343)
+# --------------------------------------------------------------------------
+def test_gain_db():
+    x = np.ones(10, np.float32)
+    np.testing.assert_allclose(augment.gain_db(x, 20.0), 10.0 * x, rtol=1e-6)
+    np.testing.assert_allclose(augment.gain_db(x, -20.0), 0.1 * x, rtol=1e-6)
+
+
+def test_change_speed_length():
+    x = np.sin(np.linspace(0, 20, 16000)).astype(np.float32)
+    assert len(augment.change_speed(x, 1.25)) == int(16000 / 1.25)
+    assert len(augment.change_speed(x, 0.8)) == 16000 / 0.8
+    assert augment.change_speed(x, 1.0) is x
+
+
+def test_shift():
+    x = np.arange(10, dtype=np.float32)
+    r = augment.shift(x, 2 / 16.0, 16000)       # +2 samples
+    assert r[0] == 0 and r[1] == 0 and r[2] == 0.0 == x[0] and r[3] == 1
+    l = augment.shift(x, -2 / 16.0, 16000)
+    assert l[0] == 2 and l[-1] == 0
+
+
+def test_augment_prob_zero_identity():
+    cfg = SMALL.augment
+    x = np.random.RandomState(0).randn(100).astype(np.float32)
+    assert augment.augment(x, cfg, np.random.RandomState(1)) is x
+
+
+# --------------------------------------------------------------------------
+# manifest / dataset / sampler / loader
+# --------------------------------------------------------------------------
+@pytest.fixture()
+def corpus(tmp_path):
+    rng = np.random.RandomState(0)
+    utts = []
+    texts = ["abc", "de", "fghij", "ab", "cde"]
+    for i, t in enumerate(texts):
+        n = 3200 + 1600 * i
+        p = str(tmp_path / f"u{i}.wav")
+        audio_io.write_wav(p, (0.1 * rng.randn(n)).astype(np.float32), 16000)
+        utts.append(dataset.Utterance(p, t))
+    mpath = str(tmp_path / "manifest.tsv")
+    dataset.write_manifest(mpath, utts)
+    return mpath, texts
+
+
+def test_manifest_roundtrip(corpus):
+    mpath, texts = corpus
+    utts = dataset.read_manifest(mpath)
+    assert [u.text for u in utts] == texts
+
+
+def test_dataset_modes(corpus):
+    mpath, texts = corpus
+    vocab = Vocab.build(texts, max_num_words=SMALL.vocab.max_num_words)
+    utts = dataset.read_manifest(mpath)
+    ds = dataset.AudioDataset(utts, SMALL, vocab, "eval")
+    wav, ids = ds[0]
+    assert wav.dtype == np.float32 and len(wav) == 3200
+    assert ids == vocab.encode("abc")
+    ds_inf = dataset.AudioDataset(utts, SMALL, vocab, "infer")
+    _, ids_inf = ds_inf[0]
+    assert ids_inf is None
+
+
+def test_train_sampler_window_sorting():
+    lengths = np.array([9, 1, 5, 3, 7, 2, 8, 4])
+    rng = np.random.RandomState(0)
+    order = dataset.train_sampler_order(lengths, batch_size=2,
+                                        shuffle_updates=2, rng=rng)
+    # every window of 4 must be length-sorted
+    for s in range(0, 8, 4):
+        w = lengths[order[s:s + 4]]
+        assert np.all(np.diff(w) >= 0)
+    assert sorted(order.tolist()) == list(range(8))
+
+
+def test_loader_shapes_and_packing(corpus):
+    mpath, texts = corpus
+    vocab = Vocab.build(texts, max_num_words=SMALL.vocab.max_num_words)
+    loader = dataset.make_eval_loader(mpath, SMALL, vocab)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    wav_mat, wav_lens, ti, to, tl = batches[0]
+    assert wav_mat.shape[1] % 4800 == 0
+    assert ti.shape == to.shape and ti.shape[1] % 8 == 0
+    # sos/eos packing (reference data.py:485-487)
+    j = 0
+    ids = vocab.encode(texts[0])
+    assert ti[j, 0] == SMALL.vocab.sos
+    assert list(ti[j, 1:1 + len(ids)]) == ids
+    assert list(to[j, : len(ids)]) == ids
+    assert to[j, len(ids)] == SMALL.vocab.eos
+    assert tl[j] == len(ids) + 1
+    # padding beyond true wav length is zero
+    assert np.all(wav_mat[0, wav_lens[0]:] == 0)
+
+
+def test_batches_to_device(corpus):
+    mpath, texts = corpus
+    vocab = Vocab.build(texts, max_num_words=SMALL.vocab.max_num_words)
+    loader = dataset.make_eval_loader(mpath, SMALL, vocab)
+    b = next(iter(dataset.batches_to_device(loader, SMALL)))
+    assert b.feats.shape[0] == 2
+    assert b.feats.shape[2] == SMALL.audio.feat_dim
+    assert int(b.feat_lens[0]) > 0
+
+
+# --------------------------------------------------------------------------
+# ASR API
+# --------------------------------------------------------------------------
+def test_asr_three_modes_and_determinism(tmp_path, corpus):
+    mpath, texts = corpus
+    utts = dataset.read_manifest(mpath)
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=5\n\n\\1-grams:\n-1.0\t<unk>\n-0.5\t<s>\n"
+        "-0.5\t</s>\n-0.7\ta\n-0.7\tb\n\n\\end\\\n")
+    from chinese_asr_tpu.api import ASR
+
+    # identity fallback vocab: random weights emit arbitrary ids, which a
+    # corpus-built vocab could not render
+    greedy = ASR(cfg=SMALL, wav_bucket=4800)
+    t1 = greedy(utts[0].path)
+    t2 = greedy(utts[0].path)
+    assert isinstance(t1, str) and t1 == t2    # deterministic
+
+    beam = ASR(cfg=SMALL, bw=3, wav_bucket=4800)
+    tb = beam(utts[0].path)
+    assert isinstance(tb, str)
+
+    lm = ASR(cfg=SMALL, bw=3, lm_path=str(arpa), wav_bucket=4800)
+    assert lm.lm is not None
+    tl = lm(utts[0].path)
+    assert isinstance(tl, str)
+
+    # lm ignored for greedy (main.py:78-84)
+    g2 = ASR(cfg=SMALL, bw=1, lm_path=str(arpa))
+    assert g2.lm is None
+
+
+def test_asr_zero_length_wav_no_crash(tmp_path):
+    p = str(tmp_path / "z.wav")
+    audio_io.write_wav(p, np.zeros(0, np.float32), 16000)
+    from chinese_asr_tpu.api import ASR
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    out = asr(p)
+    assert isinstance(out, str)
+
+
+def test_asr_batch_mixed_lengths(corpus):
+    mpath, _ = corpus
+    utts = dataset.read_manifest(mpath)
+    from chinese_asr_tpu.api import ASR
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    outs = asr.transcribe_files([u.path for u in utts[:3]])
+    assert len(outs) == 3
