@@ -103,6 +103,9 @@ class EncoderConfig:
     ws: int = 11                   # local-attention window
     ffn_size: int = 256
     self_attn_heads: int = 4
+    # CRNN / DCNN family
+    conv_channels: int = 32
+    dcnn_middle: int = 4
 
     @property
     def num_directions(self) -> int:

@@ -73,9 +73,20 @@ def init_decoder(key, dcfg: DecoderConfig, acfg: AttentionConfig,
 def get_initial_state(p: Params, dcfg: DecoderConfig, bsz: int, enc_state,
                       dtype=jnp.float32) -> Optional[List]:
     """Reference decoder.py:56-73: encoder last state replicated per layer,
-    else the learned init, else None (-> zeros in the cell stack)."""
+    else the learned init, else None (-> zeros in the cell stack).
+
+    Encoder states that don't fit the decoder cell (e.g. a GRU encoder's
+    plain h next to an LSTM decoder needing (h, c), or a size mismatch)
+    fall through to the learned/zero init."""
     if enc_state is not None:
-        return [enc_state] * dcfg.num_layers
+        if dcfg.decoder_type == "LSTM":
+            compatible = (isinstance(enc_state, tuple) and len(enc_state) == 2
+                          and enc_state[0].shape[-1] == dcfg.hidden_size)
+        else:
+            compatible = (not isinstance(enc_state, tuple)
+                          and enc_state.shape[-1] == dcfg.hidden_size)
+        if compatible:
+            return [enc_state] * dcfg.num_layers
     if "init_state" in p:
         if dcfg.decoder_type != "LSTM":
             return [jnp.broadcast_to(e, (bsz, e.shape[0])) for e in p["init_state"]]
