@@ -198,13 +198,31 @@ def instance_norm(feat, mask=None, eps: float = 1e-6, unbiased: bool = True):
     return out
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas kernel on TPU backends (ops/pallas/logmel.py); the
+    pure-XLA path everywhere else.  Override with CHINESE_ASR_PALLAS=0/1."""
+    import os
+
+    flag = os.environ.get("CHINESE_ASR_PALLAS")
+    if flag is not None:
+        return flag != "0"
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def featurize(audio, n_frames_max: int, cfg: AudioConfig, frame_mask=None):
     """Full front end: audio [..., N] -> features.
 
     Non-CNN2D layout: [..., T', feat_dim] with feat_dim = 720 for defaults.
     CNN2D layout is produced by the caller from the pre-stack tensor.
     """
-    lm = log_mel(audio, n_frames_max, cfg, frame_mask)    # [..., T, 80]
+    if _use_pallas():
+        from ..ops.pallas import logmel as pallas_logmel
+
+        lm = pallas_logmel.log_mel(audio, n_frames_max, cfg, frame_mask)
+    else:
+        lm = log_mel(audio, n_frames_max, cfg, frame_mask)  # [..., T, 80]
     if cfg.delta_delta:
         f3 = add_delta_deltas(lm)                         # [..., 3, T, 80]
     else:
