@@ -1,0 +1,149 @@
+"""First-pass-LM beam decode (reference ``eval_with_lm``,
+model.py:989-1360 — an experimental mode kept for capability parity).
+
+Per step, the acoustic model only *proposes*: the decoder's top-``topn``
+tokens per beam are rescored by the n-gram LM over the full prefix
+(reference calc_lm_score, model.py:1182-1194: ``lm.score(' '.join(hist +
+[tok]), bos=False, eos=False)``), every other token gets -inf, and the
+fairseq-style 2k-candidate selection runs on the LM scores.
+
+Host/device split (the reference interleaves python string loops with CUDA
+steps; here the boundary is explicit): the decoder step + top-n proposal is
+one jitted program; prefix rescoring is one batched C++ LM call per step
+(B*k*topn strings in a single FFI crossing); beam bookkeeping is numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import decoder as dec_ops
+from ..models import las
+
+
+class _StepOut(NamedTuple):
+    top_logit: jnp.ndarray    # [B*k, n]
+    top_tokens: jnp.ndarray   # [B*k, n]
+    attn_hidden: jnp.ndarray
+    cell_state: list
+
+
+def _make_step(cfg: Config, topn: int):
+    dcfg, acfg = cfg.decoder, cfg.attention
+
+    @jax.jit
+    def step(dec_params, attn_params, mask, keys, values, tokens,
+             cell_state, attn_hidden):
+        out = dec_ops.decoder_step_beam(
+            dec_params, attn_params, dcfg, acfg, mask, keys, values,
+            tokens, cell_state, attn_hidden)
+        logit = out.logit / dcfg.temperature
+        top_logit, top_tokens = jax.lax.top_k(logit, topn)
+        return _StepOut(top_logit, top_tokens.astype(jnp.int32),
+                        out.attn_hidden_state, out.cell_state)
+
+    return step
+
+
+def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
+                         lm, vocab, topn: int = 20):
+    """Returns (n-best token lists per sample, scores per sample)."""
+    B = feats.shape[0]
+    k = bw
+    V = cfg.vocab.vocab_size
+    max_len = cfg.decode.max_len
+    eos, sos = cfg.vocab.eos, cfg.vocab.sos
+    cand = 2 * k
+
+    eb = las.encode(params, cfg, feats, feat_lens)
+    step = _make_step(cfg, topn)
+
+    cell = eb.init_cell_state
+    if cell is None:
+        z = jnp.zeros((B * k, cfg.decoder.hidden_size), feats.dtype)
+        cell = [(z, z)] * cfg.decoder.num_layers
+    else:
+        cell = [tuple(jnp.repeat(e, k, axis=0) for e in s)
+                if isinstance(s, tuple) else jnp.repeat(s, k, axis=0)
+                for s in cell]
+    attn_hidden = jnp.zeros((B * k, eb.values.shape[-1]), feats.dtype)
+
+    hist = [[] for _ in range(B * k)]                    # token prefixes
+    tokens = np.full(B * k, sos, np.int32)
+    finished: List[List] = [[] for _ in range(B)]
+
+    def words(ids):
+        return [vocab.int2word[int(i)] for i in ids]
+
+    for l in range(max_len):
+        out = step(params["decoder"], params["attention"], eb.mask, eb.keys,
+                   eb.values, jnp.asarray(tokens), cell, attn_hidden)
+        top_tokens = np.asarray(out.top_tokens)          # [B*k, n]
+
+        # --- batched prefix rescoring: one FFI call per step -------------
+        sents = []
+        for i in range(B * k):
+            base = words(hist[i])
+            for j in range(topn):
+                sents.append(" ".join(base + words([top_tokens[i, j]])))
+        lm_scores = np.asarray(lm.score_batch(sents, bos=False, eos=False))
+        lm_scores = lm_scores.reshape(B * k, topn)
+
+        scores = np.full((B * k, V), -np.inf)
+        np.put_along_axis(scores, top_tokens, lm_scores, axis=1)
+        scores = scores.reshape(B, k * V)
+        if l == 0:
+            scores = scores[:, :V]                       # beams identical
+
+        cand_idx = np.argsort(-scores, axis=1)[:, :cand]
+        cand_scores = np.take_along_axis(scores, cand_idx, axis=1)
+        cand_beams = cand_idx // V
+        cand_toks = cand_idx % V
+
+        # harvest finished among top-k; pick k non-eos survivors
+        sel_rows, sel_toks = [], []
+        for b in range(B):
+            live = 0
+            for j in range(cand):
+                t = int(cand_toks[b, j])
+                src = b * k + int(cand_beams[b, j])
+                if t == eos:
+                    if j < k:
+                        finished[b].append((list(hist[src]),
+                                            float(cand_scores[b, j])))
+                    continue
+                if live < k:
+                    sel_rows.append(src)
+                    sel_toks.append(t)
+                    live += 1
+        if all(len(f) > 0 for f in finished):
+            break
+
+        sel = np.asarray(sel_rows, np.int32)
+        hist = [hist[s] + [sel_toks[i]] for i, s in enumerate(sel)]
+        tokens = np.asarray(sel_toks, np.int32)
+        sel_d = jnp.asarray(sel)
+        cell = [tuple(e[sel_d] for e in s) if isinstance(s, tuple)
+                else s[sel_d] for s in out.cell_state]
+        attn_hidden = out.attn_hidden[sel_d]
+
+    results = []
+    for b in range(B):
+        if finished[b]:
+            results.append(sorted(finished[b], key=lambda h: -h[1]))
+        else:
+            results.append([(hist[b * k], 0.0)])         # best live fallback
+    return results
+
+
+def transcribe_lm_first_pass(params, cfg: Config, bw: int, feats, feat_lens,
+                             lm, vocab, topn: int = 20) -> List[str]:
+    nbest = lm_first_pass_decode(params, cfg, bw, feats, feat_lens, lm,
+                                 vocab, topn)
+    return [vocab.decode(hyps[0][0]) for hyps in nbest]

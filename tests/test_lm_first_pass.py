@@ -1,0 +1,78 @@
+"""First-pass-LM decode: the n-gram LM (not the acoustic model) must drive
+token selection (reference eval_with_lm semantics, model.py:989-1360)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.decode import lm_first_pass
+from chinese_asr_tpu.lm import ngram
+from chinese_asr_tpu.models import las
+from chinese_asr_tpu.vocab import Vocab
+
+SMALL = (Config()
+         .with_("audio", n_mels=8, delta_delta=False, downsample=False)
+         .with_("encoder", hidden_size=16, num_layers=2)
+         .with_("decoder", hidden_size=32, embed_dim=12)
+         .with_("attention", attn_size=8)
+         .with_("vocab", max_num_words=8)
+         .with_("decode", max_len=5))
+
+
+def make_vocab():
+    # ids: specials 0-3, then a..h = 4..11
+    return Vocab.build(["abcdefgh" * 3], max_num_words=8)
+
+
+def arpa(tmp_path, eos_logp):
+    lines = ["\\data\\", "ngram 1=11", "", "\\1-grams:",
+             "-9.0\t<unk>", "-9.0\t<s>", f"{eos_logp}\t</s>",
+             "-0.1\ta"]
+    for ch in "bcdefgh":
+        lines.append(f"-5.0\t{ch}")
+    lines += ["", "\\end\\", ""]
+    p = tmp_path / f"lm{eos_logp}.arpa"
+    p.write_text("\n".join(lines))
+    return ngram.NgramLM(str(p))
+
+
+def inputs(cfg, B=2, T=7):
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, cfg.audio.feat_dim).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(np.full(B, T, np.int32))
+
+
+def test_lm_drives_tokens(tmp_path):
+    """With eos improbable, the decode must emit the LM-favored token 'a'
+    at every step up to max_len."""
+    cfg = SMALL
+    vocab = make_vocab()
+    lm = arpa(tmp_path, -9.0)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    feats, lens = inputs(cfg)
+    texts = lm_first_pass.transcribe_lm_first_pass(
+        params, cfg, 2, feats, lens, lm, vocab, topn=10)
+    assert texts == ["a" * cfg.decode.max_len] * 2
+
+
+def test_eos_harvest_finishes_early(tmp_path):
+    """With eos as the runner-up at every step, each sample harvests a
+    finished hypothesis immediately."""
+    cfg = SMALL
+    vocab = make_vocab()
+    lm = arpa(tmp_path, -0.3)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    feats, lens = inputs(cfg)
+    nbest = lm_first_pass.lm_first_pass_decode(
+        params, cfg, 2, feats, lens, lm, vocab, topn=10)
+    assert len(nbest) == 2
+    for hyps in nbest:
+        assert len(hyps) >= 1
+        ids, score = hyps[0]
+        assert isinstance(ids, list) and np.isfinite(score)
+        # scores sorted best-first
+        ss = [s for _, s in hyps]
+        assert ss == sorted(ss, reverse=True)

@@ -1,0 +1,141 @@
+"""Trainer end-to-end: fit on a synthetic corpus through the real data
+pipeline (device-side featurization), eval + checkpoint + resume."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.data import audio_io, dataset
+from chinese_asr_tpu.models import las
+from chinese_asr_tpu.train.trainer import Trainer
+from chinese_asr_tpu.utils.observe import (EMA, Duration, MetricsLogger,
+                                           alignment_to_image,
+                                           batch_alignment_images,
+                                           rand_disp_list)
+from chinese_asr_tpu.vocab import Vocab
+
+
+def small(tmp_path):
+    return (Config()
+            .with_("encoder", hidden_size=16, num_layers=2)
+            .with_("decoder", hidden_size=32, embed_dim=12)
+            .with_("attention", attn_size=8)
+            .with_("vocab", max_num_words=8)
+            .with_("decode", max_len=6)
+            .with_("train", batch_size=2, eval_batch_size=2, epochs=5,
+                   num_eval_steps=4, base_lr=1e-3,
+                   save_dir=str(tmp_path / "ckpt")))
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rng = np.random.RandomState(0)
+    texts = ["abcd", "efgh", "abef", "cdgh"]
+    utts = []
+    for i, t in enumerate(texts):
+        p = str(tmp_path / f"u{i}.wav")
+        audio_io.write_wav(p, (0.1 * rng.randn(4000 + 800 * i)).astype(np.float32))
+        utts.append(dataset.Utterance(p, t))
+    mpath = str(tmp_path / "m.tsv")
+    dataset.write_manifest(mpath, utts)
+    vocab = Vocab.build(texts, max_num_words=8)
+    return mpath, vocab
+
+
+def test_fit_eval_checkpoint_resume(tmp_path, corpus):
+    mpath, vocab = corpus
+    cfg = small(tmp_path)
+    assert len(vocab) == cfg.vocab.vocab_size
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tr = Trainer(cfg, params, vocab)
+
+    def train_loader():
+        return dataset.batches_to_device(
+            dataset.make_train_loader(mpath, cfg, vocab), cfg)
+
+    def eval_loader():
+        return dataset.batches_to_device(
+            dataset.make_eval_loader(mpath, cfg, vocab), cfg)
+
+    tv = tr.fit(train_loader, eval_loader, max_steps=8)
+    assert tv.step == 8
+    assert np.isfinite(tv.loss)
+    assert np.isfinite(tv.best_wer)
+    cks = glob.glob(os.path.join(cfg.train.save_dir, "step-*_wer-*.ckpt"))
+    assert len(cks) >= 1
+    # metrics logged
+    log = open(os.path.join(cfg.train.save_dir, "metrics.jsonl")).read()
+    assert "train/loss" in log and "eval/wer" in log
+
+    # resume into a fresh trainer
+    tr2 = Trainer(cfg, las.init_params(jax.random.PRNGKey(1), cfg), vocab)
+    assert tr2.resume()
+    assert tr2.tv.step == tv.step
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loss_decreases_overfit(tmp_path, corpus):
+    mpath, vocab = corpus
+    cfg = small(tmp_path).with_("train", base_lr=5e-3, num_eval_steps=-1,
+                                epochs=1, save_dir=str(tmp_path / "ck2"))
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tr = Trainer(cfg, params, vocab)
+
+    def loader():
+        return dataset.batches_to_device(
+            dataset.make_eval_loader(mpath, cfg, vocab), cfg)  # fixed order
+
+    losses = []
+    orig = tr._step_fn
+
+    def wrapped(*a, **kw):
+        out = orig(*a, **kw)
+        losses.append(float(out[2]["loss"]))
+        return out
+
+    tr._step_fn = wrapped
+    tr.fit(loader, None, max_steps=20)
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+# --------------------------------------------------------------------------
+# observability
+# --------------------------------------------------------------------------
+def test_duration_and_ema():
+    d = Duration()
+    with d:
+        pass
+    assert d.seconds >= 0
+    assert ":" in str(d)
+    e = EMA(0.5)
+    assert e.update(2.0) == 2.0
+    assert e.update(4.0) == pytest.approx(3.0)
+
+
+def test_metrics_logger(tmp_path):
+    m = MetricsLogger(str(tmp_path))
+    m.scalar("a", 1.5, 1)
+    m.text("b", "hello", 2)
+    m.image("c", np.zeros((3, 4), np.uint8), 3)
+    m.close()
+    lines = open(m.path).read().strip().split("\n")
+    assert len(lines) == 3
+    assert os.path.exists(os.path.join(str(tmp_path), "images", "c-3.npy"))
+
+
+def test_alignment_images():
+    a = np.random.RandomState(0).rand(6, 9).astype(np.float32)
+    img = alignment_to_image(a, feat_len=7, text_len=4)
+    assert img.shape == (4, 7) and img.dtype == np.uint8
+    assert img.max() == 255
+    imgs = batch_alignment_images(a[None], [7], [4])
+    assert len(imgs) == 1
+    disp = rand_disp_list(["x", "y"], ["p", "q"], n=2)
+    assert len(disp) == 2 and "pred" in disp[0]
