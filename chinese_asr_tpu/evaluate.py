@@ -1,0 +1,98 @@
+"""Dataset-level evaluation harness (reference ``test_model``,
+model.py:1370-1443): decode a whole manifest with greedy and/or beam,
+aggregate CER, and compare modes — the e2e parity template of SURVEY
+section 4.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .data import dataset as ds_mod
+from .decode import beam as beam_mod
+from .decode import greedy as greedy_mod
+from .lm import ngram
+from .ops.metrics import batch_cer, cer
+from .vocab import Vocab
+
+
+def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
+                      bw: Optional[int] = None, lm=None,
+                      verbose: bool = True) -> Dict:
+    """Returns {"cer", "n", "pred", "ref", "seconds", "utts_per_sec"}."""
+    loader = ds_mod.make_eval_loader(manifest_path, cfg, vocab)
+    preds: List[str] = []
+    refs: List[str] = []
+    t0 = time.perf_counter()
+    for b in ds_mod.batches_to_device(loader, cfg):
+        feats, feat_lens = b.feats, b.feat_lens
+        text = [np.asarray(b.tokens_out[i][: b.text_lens[i] - 1]).tolist()
+                for i in range(len(b.text_lens))]
+        if not bw or bw <= 1:
+            res = greedy_mod.greedy_decode_jit(params, cfg, feats, feat_lens)
+            out = greedy_mod.finalize_greedy(res, vocab, text=text)
+        else:
+            res = beam_mod.beam_decode_jit(params, cfg, bw, feats, feat_lens)
+            out = beam_mod.finalize_beam(
+                res, cfg, vocab, text=text, lm_model=lm,
+                second_pass=lm is not None,
+                lm_weight=cfg.decode.lm_weight,
+                length_weight=cfg.decode.length_weight)
+        preds.extend(out.pred_text)
+        refs.extend(out.text)
+        if verbose:
+            print(f"  {len(preds)} utts, running CER "
+                  f"{batch_cer(preds, refs):.5f}", file=sys.stderr)
+    dt = time.perf_counter() - t0
+    return {
+        "cer": batch_cer(preds, refs),
+        "n": len(preds),
+        "pred": preds,
+        "ref": refs,
+        "seconds": dt,
+        "utts_per_sec": len(preds) / dt if dt > 0 else float("inf"),
+    }
+
+
+def compare_modes(params, cfg: Config, vocab: Vocab, manifest_path: str,
+                  beam_widths=(4,), lm=None) -> Dict[str, Dict]:
+    """Greedy vs beam at several widths (the reference's beam-vs-greedy
+    comparison, model.py:1420-1441)."""
+    out = {"greedy": evaluate_manifest(params, cfg, vocab, manifest_path,
+                                       verbose=False)}
+    for bw in beam_widths:
+        out[f"beam{bw}"] = evaluate_manifest(params, cfg, vocab,
+                                             manifest_path, bw=bw, lm=lm,
+                                             verbose=False)
+    return out
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="evaluate a manifest (CER)")
+    ap.add_argument("--manifest", required=True, help="path<TAB>text file")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--vocab", default=None, help="dict.pkl")
+    ap.add_argument("--bw", type=int, default=None)
+    ap.add_argument("--lm", default=None, help="ARPA n-gram LM")
+    args = ap.parse_args(argv)
+
+    from .api import ASR
+    asr = ASR(ckpt_path=args.ckpt, vocab=args.vocab)
+    lm = ngram.load_lm(args.lm) if args.bw and args.bw > 1 else None
+    res = evaluate_manifest(asr.params, asr.cfg, asr.vocab, args.manifest,
+                            bw=args.bw, lm=lm)
+    print(f"cer={res['cer']:.5f} n={res['n']} "
+          f"utts/s={res['utts_per_sec']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -192,11 +192,51 @@ def rnn_layer(mode: str, p: Params, x, mask, state=None):
     return _scan_rnn(p, x, mask, state, act)
 
 
+def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, x_r, mask):
+    """Both directions in ONE scan: the forward input and the per-length
+    reversed input ride a leading direction axis, the recurrent matmul is a
+    batched einsum over it — half the sequential scan steps of running two
+    scans, with identical math.
+
+    x/x_r [B, T, D], mask [B, T] -> (y_f, y_b [B, T, H], states)."""
+    B, T, _ = x.shape
+    H = p_fwd["w_hh"].shape[0]
+
+    def hoist(p, xi):
+        return (xi.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]
+                ).reshape(B, T, -1)
+
+    xg = jnp.stack([hoist(p_fwd, x), hoist(p_bwd, x_r)])   # [2, B, T, 4H]
+    w_hh = jnp.stack([p_fwd["w_hh"], p_bwd["w_hh"]])       # [2, H, 4H]
+    h0 = jnp.zeros((2, B, H), x.dtype)
+    c0 = jnp.zeros((2, B, H), x.dtype)
+
+    def body(carry, inp):
+        h, c = carry
+        xg_t, m_t = inp                                    # [2, B, 4H], [B]
+        gates = xg_t + jnp.einsum("gbh,ghk->gbk", h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+        m = m_t[None, :, None]
+        h = m * h2 + (1.0 - m) * h
+        c = m * c2 + (1.0 - m) * c
+        return (h, c), h2 * m
+
+    (hT, cT), ys = jax.lax.scan(
+        body, (h0, c0), (jnp.moveaxis(xg, 2, 0), jnp.swapaxes(mask, 0, 1)))
+    ys = jnp.moveaxis(ys, 0, 2)                            # [2, B, T, H]
+    return ys[0], ys[1], (hT[0], cT[0]), (hT[1], cT[1])
+
+
 def bidir_rnn_layer(mode: str, p_fwd: Params, p_bwd: Params, x, lens, mask):
     """Bidirectional layer -> (y [B,T,2H], state_fwd, state_bwd)."""
-    y_f, s_f = rnn_layer(mode, p_fwd, x, mask)
     x_r = reverse_sequence(x, lens)
-    y_b, s_b = rnn_layer(mode, p_bwd, x_r, mask)
+    if mode == "LSTM":
+        y_f, y_b, s_f, s_b = _scan_lstm_bidir(p_fwd, p_bwd, x, x_r, mask)
+    else:
+        y_f, s_f = rnn_layer(mode, p_fwd, x, mask)
+        y_b, s_b = rnn_layer(mode, p_bwd, x_r, mask)
     y_b = reverse_sequence(y_b, lens)
     return jnp.concatenate([y_f, y_b], axis=-1), s_f, s_b
 

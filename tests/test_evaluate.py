@@ -1,0 +1,53 @@
+"""Evaluation harness: manifest-level CER aggregation + mode comparison."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from chinese_asr_tpu.config import Config
+from chinese_asr_tpu.data import audio_io, dataset
+from chinese_asr_tpu.evaluate import compare_modes, evaluate_manifest
+from chinese_asr_tpu.models import las
+from chinese_asr_tpu.vocab import Vocab
+
+SMALL = (Config()
+         .with_("encoder", hidden_size=16, num_layers=2)
+         .with_("decoder", hidden_size=32, embed_dim=12)
+         .with_("attention", attn_size=8)
+         .with_("vocab", max_num_words=8)
+         .with_("decode", max_len=6)
+         .with_("train", eval_batch_size=2))
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rng = np.random.RandomState(0)
+    texts = ["abcd", "efgh", "abef"]
+    utts = []
+    for i, t in enumerate(texts):
+        p = str(tmp_path / f"u{i}.wav")
+        audio_io.write_wav(p, (0.1 * rng.randn(4000)).astype(np.float32))
+        utts.append(dataset.Utterance(p, t))
+    mpath = str(tmp_path / "m.tsv")
+    dataset.write_manifest(mpath, utts)
+    return mpath, Vocab.build(texts, max_num_words=8)
+
+
+def test_evaluate_manifest(corpus):
+    mpath, vocab = corpus
+    params = las.init_params(jax.random.PRNGKey(0), SMALL)
+    res = evaluate_manifest(params, SMALL, vocab, mpath, verbose=False)
+    assert res["n"] == 3
+    assert np.isfinite(res["cer"]) and res["cer"] > 0  # random weights
+    assert len(res["pred"]) == len(res["ref"]) == 3
+    assert res["ref"][0] == "abcd"
+
+
+def test_compare_modes(corpus):
+    mpath, vocab = corpus
+    params = las.init_params(jax.random.PRNGKey(0), SMALL)
+    out = compare_modes(params, SMALL, vocab, mpath, beam_widths=(2,))
+    assert set(out) == {"greedy", "beam2"}
+    for v in out.values():
+        assert v["n"] == 3 and np.isfinite(v["cer"])
