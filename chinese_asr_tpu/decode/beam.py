@@ -56,7 +56,7 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
     dtype = feats.dtype
 
     eb = las.encode(params, cfg, feats, feat_lens)
-    ctx = eb.values.shape[-1]
+    ctx = dec_ops.attn_hidden_width(acfg, eb.values.shape[-1])
 
     # tile only true per-beam state (reference model.py:659-669 tiles
     # everything; see module docstring)

@@ -39,8 +39,8 @@ def greedy_decode(params, cfg: Config, feats, feat_lens) -> GreedyResult:
     max_len = cfg.decode.max_len
     eb = las.encode(params, cfg, feats, feat_lens)
     L = eb.enc_out.shape[1]
-    ctx = eb.values.shape[-1]
     dcfg, acfg = cfg.decoder, cfg.attention
+    ctx = dec_ops.attn_hidden_width(acfg, eb.values.shape[-1])
 
     cell0 = eb.init_cell_state
     if cell0 is None:

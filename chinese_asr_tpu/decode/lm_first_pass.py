@@ -72,7 +72,9 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         cell = [tuple(jnp.repeat(e, k, axis=0) for e in s)
                 if isinstance(s, tuple) else jnp.repeat(s, k, axis=0)
                 for s in cell]
-    attn_hidden = jnp.zeros((B * k, eb.values.shape[-1]), feats.dtype)
+    attn_hidden = jnp.zeros(
+        (B * k, dec_ops.attn_hidden_width(cfg.attention, eb.values.shape[-1])),
+        feats.dtype)
 
     hist = [[] for _ in range(B * k)]                    # token prefixes
     tokens = np.full(B * k, sos, np.int32)

@@ -70,6 +70,13 @@ def init_decoder(key, dcfg: DecoderConfig, acfg: AttentionConfig,
     return p
 
 
+def attn_hidden_width(acfg: AttentionConfig, values_dim: int) -> int:
+    """Width of the attentional hidden state fed back at the next step:
+    the raw context for 'B', the tanh-projected size for 'L'
+    (reference decoder.py:39-51, 126-127)."""
+    return acfg.attn_hidden_size if acfg.attn_type == "L" else values_dim
+
+
 def get_initial_state(p: Params, dcfg: DecoderConfig, bsz: int, enc_state,
                       dtype=jnp.float32) -> Optional[List]:
     """Reference decoder.py:56-73: encoder last state replicated per layer,

@@ -51,7 +51,7 @@ def forward_logits(params, cfg: Config, batch: Batch,
     B, S = batch.tokens_in.shape
     dcfg, acfg = cfg.decoder, cfg.attention
     eb = las.encode(params, cfg, batch.feats, batch.feat_lens)
-    ctx = eb.values.shape[-1]
+    ctx = dec_ops.attn_hidden_width(acfg, eb.values.shape[-1])
 
     cell0 = eb.init_cell_state
     if cell0 is None:
