@@ -52,10 +52,12 @@ class ASR:
                  bw: Optional[int] = None,
                  cfg: Optional[Config] = None,
                  vocab: Union[Vocab, str, None] = None,
-                 wav_bucket: int = 16000):
+                 wav_bucket: int = 16000,
+                 compute_dtype: str = "float32"):
         self.cfg = cfg or Config()
         self.bw = bw
         self.wav_bucket = wav_bucket
+        self.compute_dtype = jnp.dtype(compute_dtype)
         # LM only loads for beam widths > 1 (main.py:78-84)
         self.lm = ngram.load_lm(lm_path) if (lm_path and bw and bw > 1) else None
 
@@ -74,6 +76,13 @@ class ASR:
         else:
             self.params = jax.tree_util.tree_map(
                 jnp.asarray, load_checkpoint(ckpt_path)["params"])
+
+        if self.compute_dtype != jnp.float32:
+            # bf16 inference: weights + activations in compute_dtype, beam /
+            # greedy score arithmetic stays f32 (decode/ casts logits up)
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, self.params)
 
         self._feat_fns = {}
 
@@ -101,6 +110,8 @@ class ASR:
                 w, l, cfg, norm_eps=1e-6))
             self._feat_fns[N] = fn
         feats, feat_lens = fn(jnp.asarray(mat), jnp.asarray(lens))
+        if self.compute_dtype != jnp.float32:
+            feats = feats.astype(self.compute_dtype)
         # degenerate (shorter than one frame) utterances: attend to one
         # zero frame instead of an empty (all -inf softmax mask) memory
         return feats, jnp.maximum(feat_lens, 1)

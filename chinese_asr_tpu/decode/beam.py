@@ -80,13 +80,13 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
         l_final=jnp.int32(max_len - 1),
         hist=jnp.full((B * k, max_len + 1), cfg.vocab.pad, jnp.int32)
              .at[:, 0].set(cfg.vocab.sos),
-        logp_scores=jnp.zeros((B * k,), dtype),
+        logp_scores=jnp.zeros((B * k,), jnp.float32),  # f32 under bf16 compute
         cell_state=cell0,
         attn_hidden=jnp.zeros((B * k, ctx), dtype),
         top_beam_finished=jnp.zeros((B,), bool),
         fin_tokens=jnp.zeros((B, cap, max_len), jnp.int32),
         fin_lens=jnp.zeros((B, cap), jnp.int32),
-        fin_scores=jnp.full((B, cap), -jnp.inf, dtype),
+        fin_scores=jnp.full((B, cap), -jnp.inf, jnp.float32),
         fin_count=jnp.zeros((B,), jnp.int32),
     )
 
@@ -102,7 +102,7 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
             eb.mask, eb.keys, eb.values, tokens, s["cell_state"],
             s["attn_hidden"])
 
-        logit = out.logit / cfg.decoder.temperature
+        logit = out.logit.astype(jnp.float32) / cfg.decoder.temperature
         logp = logit - jax.scipy.special.logsumexp(logit, axis=1, keepdims=True)
         logp = logp + s["logp_scores"][:, None]                       # [B*k, V]
         scores = logp.reshape(B, k * V)

@@ -55,7 +55,7 @@ def greedy_decode(params, cfg: Config, feats, feat_lens) -> GreedyResult:
         attn_hidden=jnp.zeros((B, ctx), feats.dtype),
         finished=jnp.zeros((B,), bool),
         final_lens=jnp.zeros((B,), jnp.int32),
-        accum=jnp.zeros((B,), feats.dtype),
+        accum=jnp.zeros((B,), jnp.float32),   # scores stay f32 under bf16
         out=jnp.full((B, max_len), cfg.vocab.pad, jnp.int32),
         align=jnp.zeros((B, max_len, L), feats.dtype),
     )
@@ -68,7 +68,7 @@ def greedy_decode(params, cfg: Config, feats, feat_lens) -> GreedyResult:
             params["decoder"], params["attention"], dcfg, acfg,
             eb.mask, eb.keys, eb.values, s["tokens"], s["cell_state"],
             s["attn_hidden"])
-        logit = out.logit
+        logit = out.logit.astype(jnp.float32)
         logp = logit - jax.scipy.special.logsumexp(logit, axis=1, keepdims=True)
         tok = jnp.argmax(logp, axis=1).astype(jnp.int32)
         lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]

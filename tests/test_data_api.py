@@ -203,3 +203,19 @@ def test_asr_batch_mixed_lengths(corpus):
     asr = ASR(cfg=SMALL, wav_bucket=4800)
     outs = asr.transcribe_files([u.path for u in utts[:3]])
     assert len(outs) == 3
+
+
+def test_asr_bf16_mode(corpus):
+    """bf16 compute: decode runs, scores are finite f32, output is a str."""
+    mpath, _ = corpus
+    utts = dataset.read_manifest(mpath)
+    from chinese_asr_tpu.api import ASR
+    import jax.numpy as jnp
+    asr = ASR(cfg=SMALL, bw=3, wav_bucket=4800, compute_dtype="bfloat16")
+    for leaf in __import__("jax").tree_util.tree_leaves(asr.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16
+    out = asr(utts[0].path)
+    assert isinstance(out, str)
+    g = ASR(cfg=SMALL, wav_bucket=4800, compute_dtype="bfloat16")
+    assert isinstance(g(utts[0].path), str)
