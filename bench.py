@@ -33,7 +33,7 @@ def main() -> None:
 
     cfg = Config()
     bw = 16
-    B = 16
+    B = 64
     secs = 10.0
     sr = cfg.audio.sample_rate
     N = int(secs * sr)

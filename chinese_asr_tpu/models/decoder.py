@@ -145,7 +145,10 @@ def decoder_step_beam(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionCon
     """
     B = mask.shape[0]
     k = token.shape[0] // B
-    x = p["embedding"][token]                             # [B*k, embed]
+    # one-hot matmul embedding: a [B*k]-row dynamic gather is slower than
+    # the [B*k, V] x [V, E] MXU product on TPU
+    emb = p["embedding"]
+    x = jax.nn.one_hot(token, emb.shape[0], dtype=emb.dtype) @ emb
     if dcfg.input_feeding:
         x = jnp.concatenate([x, attn_hidden_state], axis=1)
 

@@ -23,10 +23,16 @@ checkpoint converter a pure transpose (reference model.py:347-369 schema).
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# lax.scan unroll factor for the time loops: amortizes per-step loop
+# overhead on TPU (the steps are tiny [B,H]x[H,4H] matmuls).  Tuned on
+# v5e; override with CHINESE_ASR_SCAN_UNROLL.
+SCAN_UNROLL = int(os.environ.get("CHINESE_ASR_SCAN_UNROLL", "4"))
 
 Params = Dict[str, jnp.ndarray]
 
@@ -119,7 +125,8 @@ def _scan_lstm(p: Params, x, mask, h0, c0):
         return (h, c), h2 * m
 
     (hT, cT), ys = jax.lax.scan(
-        body, (h0, c0), (jnp.swapaxes(xg, 0, 1), jnp.swapaxes(mask, 0, 1)))
+        body, (h0, c0), (jnp.swapaxes(xg, 0, 1), jnp.swapaxes(mask, 0, 1)),
+        unroll=SCAN_UNROLL)
     return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
 
@@ -140,7 +147,8 @@ def _scan_gru(p: Params, x, mask, h0):
         h = m * h2 + (1.0 - m) * h
         return h, h2 * m
 
-    hT, ys = jax.lax.scan(body, h0, (jnp.swapaxes(gi, 0, 1), jnp.swapaxes(mask, 0, 1)))
+    hT, ys = jax.lax.scan(body, h0, (jnp.swapaxes(gi, 0, 1), jnp.swapaxes(mask, 0, 1)),
+                          unroll=SCAN_UNROLL)
     return jnp.swapaxes(ys, 0, 1), hT
 
 
@@ -155,7 +163,8 @@ def _scan_rnn(p: Params, x, mask, h0, act):
         h = m * h2 + (1.0 - m) * h
         return h, h2 * m
 
-    hT, ys = jax.lax.scan(body, h0, (jnp.swapaxes(gi, 0, 1), jnp.swapaxes(mask, 0, 1)))
+    hT, ys = jax.lax.scan(body, h0, (jnp.swapaxes(gi, 0, 1), jnp.swapaxes(mask, 0, 1)),
+                          unroll=SCAN_UNROLL)
     return jnp.swapaxes(ys, 0, 1), hT
 
 
@@ -192,51 +201,59 @@ def rnn_layer(mode: str, p: Params, x, mask, state=None):
     return _scan_rnn(p, x, mask, state, act)
 
 
-def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, x_r, mask):
-    """Both directions in ONE scan: the forward input and the per-length
-    reversed input ride a leading direction axis, the recurrent matmul is a
-    batched einsum over it — half the sequential scan steps of running two
-    scans, with identical math.
+def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, mask):
+    """Both directions in ONE scan over a leading direction axis.
 
-    x/x_r [B, T, D], mask [B, T] -> (y_f, y_b [B, T, H], states)."""
+    The backward direction iterates the STATICALLY time-flipped sequence
+    with the flipped mask: while the (flipped) step sits in a sample's
+    padding, the mask freezes the carry at zero, so the state only starts
+    accumulating at that sample's true last frame — numerically identical
+    to running on the per-length-reversed input, but with two static flips
+    instead of per-sample `take_along_axis` gathers (which cost more than
+    the LSTM math itself on TPU: full [B,T,H] index tensors).
+
+    x [B, T, D], mask [B, T] -> (y_f, y_b [B, T, H] in natural time order,
+    state_fwd, state_bwd)."""
     B, T, _ = x.shape
     H = p_fwd["w_hh"].shape[0]
 
-    def hoist(p, xi):
-        return (xi.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]
+    def hoist(p):
+        return (x.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]
                 ).reshape(B, T, -1)
 
-    xg = jnp.stack([hoist(p_fwd, x), hoist(p_bwd, x_r)])   # [2, B, T, 4H]
+    xg = jnp.stack([hoist(p_fwd), jnp.flip(hoist(p_bwd), axis=1)])
     w_hh = jnp.stack([p_fwd["w_hh"], p_bwd["w_hh"]])       # [2, H, 4H]
+    m2 = jnp.stack([mask, jnp.flip(mask, axis=1)])         # [2, B, T]
     h0 = jnp.zeros((2, B, H), x.dtype)
     c0 = jnp.zeros((2, B, H), x.dtype)
 
     def body(carry, inp):
         h, c = carry
-        xg_t, m_t = inp                                    # [2, B, 4H], [B]
+        xg_t, m_t = inp                                    # [2, B, 4H], [2, B]
         gates = xg_t + jnp.einsum("gbh,ghk->gbk", h, w_hh)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
-        m = m_t[None, :, None]
+        m = m_t[:, :, None]
         h = m * h2 + (1.0 - m) * h
         c = m * c2 + (1.0 - m) * c
         return (h, c), h2 * m
 
     (hT, cT), ys = jax.lax.scan(
-        body, (h0, c0), (jnp.moveaxis(xg, 2, 0), jnp.swapaxes(mask, 0, 1)))
+        body, (h0, c0), (jnp.moveaxis(xg, 2, 0), jnp.moveaxis(m2, 2, 0)),
+        unroll=SCAN_UNROLL)
     ys = jnp.moveaxis(ys, 0, 2)                            # [2, B, T, H]
-    return ys[0], ys[1], (hT[0], cT[0]), (hT[1], cT[1])
+    return ys[0], jnp.flip(ys[1], axis=1), (hT[0], cT[0]), (hT[1], cT[1])
 
 
 def bidir_rnn_layer(mode: str, p_fwd: Params, p_bwd: Params, x, lens, mask):
     """Bidirectional layer -> (y [B,T,2H], state_fwd, state_bwd)."""
-    x_r = reverse_sequence(x, lens)
     if mode == "LSTM":
-        y_f, y_b, s_f, s_b = _scan_lstm_bidir(p_fwd, p_bwd, x, x_r, mask)
-    else:
-        y_f, s_f = rnn_layer(mode, p_fwd, x, mask)
-        y_b, s_b = rnn_layer(mode, p_bwd, x_r, mask)
+        y_f, y_b, s_f, s_b = _scan_lstm_bidir(p_fwd, p_bwd, x, mask)
+        return jnp.concatenate([y_f, y_b], axis=-1), s_f, s_b
+    x_r = reverse_sequence(x, lens)
+    y_f, s_f = rnn_layer(mode, p_fwd, x, mask)
+    y_b, s_b = rnn_layer(mode, p_bwd, x_r, mask)
     y_b = reverse_sequence(y_b, lens)
     return jnp.concatenate([y_f, y_b], axis=-1), s_f, s_b
 

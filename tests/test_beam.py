@@ -41,9 +41,11 @@ def collect_jax_nbest(res):
     fin_lens = np.asarray(res.fin_lens)
     fin_scores = np.asarray(res.fin_scores)
     for b in range(fin_count.shape[0]):
+        valid = np.nonzero(np.isfinite(fin_scores[b]))[0]
+        assert len(valid) == int(fin_count[b])
         out[b] = [(fin_tokens[b, i, : fin_lens[b, i]].tolist(),
                    float(fin_scores[b, i]))
-                  for i in range(int(fin_count[b]))]
+                  for i in valid]
     return out
 
 

@@ -69,3 +69,27 @@ def test_sharded_greedy_matches_single_device():
     np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
     np.testing.assert_array_equal(np.asarray(r1.final_lens),
                                   np.asarray(r2.final_lens))
+
+
+def test_sharded_beam_matches_single_device():
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    params = las.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(1)
+    B, T = 8, 9
+    feats = rng.randn(B, T, cfg.audio.feat_dim).astype(np.float32)
+    lens = np.full(B, T, np.int32)
+
+    from chinese_asr_tpu.decode import beam
+    r1 = beam.beam_decode_jit(params, cfg, 2, jnp.asarray(feats),
+                              jnp.asarray(lens))
+    run = sharding.make_sharded_beam(cfg, 2, params, mesh)
+    sp = sharding.shard_params(params, cfg, mesh)
+    r2 = run(sp, jnp.asarray(feats), jnp.asarray(lens))
+
+    np.testing.assert_array_equal(np.asarray(r1.live_tokens),
+                                  np.asarray(r2.live_tokens))
+    np.testing.assert_array_equal(np.asarray(r1.fin_count),
+                                  np.asarray(r2.fin_count))
+    np.testing.assert_allclose(np.asarray(r1.fin_scores),
+                               np.asarray(r2.fin_scores), rtol=1e-5, atol=1e-6)
