@@ -23,8 +23,17 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: repeat runs skip the ~1 min compile
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from chinese_asr_tpu.audio import features
     from chinese_asr_tpu.config import Config
