@@ -42,7 +42,7 @@ def main() -> None:
 
     cfg = Config()
     bw = 16
-    B = 64
+    B = 128
     secs = 10.0
     sr = cfg.audio.sample_rate
     N = int(secs * sr)
