@@ -97,8 +97,10 @@ def get_initial_state(p: Params, dcfg: DecoderConfig, bsz: int, enc_state,
     if "init_state" in p:
         if dcfg.decoder_type != "LSTM":
             return [jnp.broadcast_to(e, (bsz, e.shape[0])) for e in p["init_state"]]
-        return [(jnp.broadcast_to(p["init_state"][2 * i], (bsz, -1)),
-                 jnp.broadcast_to(p["init_state"][2 * i + 1], (bsz, -1)))
+        return [(jnp.broadcast_to(p["init_state"][2 * i],
+                                  (bsz, p["init_state"][2 * i].shape[0])),
+                 jnp.broadcast_to(p["init_state"][2 * i + 1],
+                                  (bsz, p["init_state"][2 * i + 1].shape[0])))
                 for i in range(dcfg.num_layers)]
     return None
 

@@ -167,6 +167,75 @@ def layer_norm(scale, bias, x, eps: float = 1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+# --------------------------------------------------------------------------
+# multi-head attention with an incremental KV cache (the capability of the
+# reference's vendored fairseq MultiheadAttention_fair, util.py:1868-2120 —
+# unused by its default path; here a fixed-shape ring-free cache suitable
+# for jit: the cache is a preallocated [B, max_len, D] buffer + a length)
+# --------------------------------------------------------------------------
+def init_mha(key, embed_dim: int, heads: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"w_qkv": _xavier(k1, (embed_dim, 3 * embed_dim), dtype),
+            "b_qkv": jnp.zeros((3 * embed_dim,), dtype),
+            "w_out": _xavier(k2, (embed_dim, embed_dim), dtype),
+            "b_out": jnp.zeros((embed_dim,), dtype),
+            "heads": heads}
+
+
+def mha_init_cache(batch: int, max_len: int, embed_dim: int,
+                   dtype=jnp.float32):
+    z = jnp.zeros((batch, max_len, embed_dim), dtype)
+    return {"k": z, "v": z, "len": jnp.zeros((), jnp.int32)}
+
+
+def mha_step(p: Params, x, cache):
+    """One incremental decode step: x [B, D] -> (y [B, D], new cache).
+
+    Appends this step's key/value at cache['len'] and attends over the
+    valid prefix — fairseq's incremental_state contract under fixed shapes.
+    """
+    heads = p["heads"]
+    B, D = x.shape
+    hd = D // heads
+    qkv = (x * hd ** -0.5) @ p["w_qkv"] + p["b_qkv"]
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    L = cache["k"].shape[1]
+    pos = cache["len"]
+    k = jax.lax.dynamic_update_index_in_dim(cache["k"], k_new, pos, axis=1)
+    v = jax.lax.dynamic_update_index_in_dim(cache["v"], v_new, pos, axis=1)
+    valid = jnp.arange(L) <= pos                           # [L]
+    qh = q.reshape(B, heads, hd)
+    kh = k.reshape(B, L, heads, hd)
+    scores = jnp.einsum("bhd,blhd->bhl", qh, kh)
+    scores = jnp.where(valid[None, None, :], scores,
+                       jnp.asarray(-jnp.inf, scores.dtype))
+    align = jax.nn.softmax(scores, axis=-1)
+    vh = v.reshape(B, L, heads, hd)
+    y = jnp.einsum("bhl,blhd->bhd", align, vh).reshape(B, D)
+    y = y @ p["w_out"] + p["b_out"]
+    return y, {"k": k, "v": v, "len": pos + 1}
+
+
+def mha_full(p: Params, x, lens=None):
+    """Whole-sequence MHA with the same weights (for cache-vs-full
+    equivalence checks). x [B, L, D] -> [B, L, D], causal."""
+    heads = p["heads"]
+    B, L, D = x.shape
+    hd = D // heads
+    qkv = (x * hd ** -0.5) @ p["w_qkv"] + p["b_qkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(B, L, heads, hd)
+    kh = k.reshape(B, L, heads, hd)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    scores = jnp.where(causal[None, None], scores,
+                       jnp.asarray(-jnp.inf, scores.dtype))
+    align = jax.nn.softmax(scores, axis=-1)
+    vh = v.reshape(B, L, heads, hd)
+    y = jnp.einsum("bhqk,bkhd->bqhd", align, vh).reshape(B, L, D)
+    return y @ p["w_out"] + p["b_out"]
+
+
 def init_block(key, input_size: int, hidden_size: int, proj: bool,
                ffn_size: int, dtype=jnp.float32) -> Params:
     k1, k2 = jax.random.split(key)

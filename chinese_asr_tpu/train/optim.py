@@ -94,9 +94,25 @@ def adaboundw(learning_rate: float = 1e-3, final_lr: float = 0.1,
 # --------------------------------------------------------------------------
 # optimizer factory (reference model.py:105-119)
 # --------------------------------------------------------------------------
-def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+def fine_tune_mask(params):
+    """Trainable mask for fine_tune mode: only the output projection and
+    the attention parameters update (the reference's fine-tune intent,
+    model.py:62-66 — its published branches are identical, the commented
+    one trains proj_linear + attention only)."""
+    def trainable(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", "")) for p in path}
+        return bool(names & {"proj_w", "proj_b", "attention"})
+    import jax
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def make_optimizer(tcfg: TrainConfig, params=None
+                   ) -> optax.GradientTransformation:
     """Returns an ``inject_hyperparams`` wrapped optimizer so the plateau
-    controller can mutate ``opt_state.hyperparams['learning_rate']``."""
+    controller can mutate ``opt_state.hyperparams['learning_rate']``.
+
+    With ``tcfg.fine_tune`` and a params pytree, non-projection/attention
+    parameters are frozen via ``optax.masked``."""
     kind = tcfg.optimizer.upper()
     clip = tcfg.clip
 
@@ -128,6 +144,12 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
             raise ValueError(f"unknown optimizer {kind}")
         if clip > 0:
             core = optax.chain(optax.clip_by_global_norm(clip), core)
+        if tcfg.fine_tune and params is not None:
+            import jax
+            labels = jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", fine_tune_mask(params))
+            core = optax.multi_transform(
+                {"train": core, "freeze": optax.set_to_zero()}, labels)
         return core
 
     return optax.inject_hyperparams(build)(learning_rate=tcfg.base_lr)

@@ -29,7 +29,7 @@ class Trainer:
         self.cfg = cfg
         self.params = params
         self.vocab = vocab
-        self.tx = optim.make_optimizer(cfg.train)
+        self.tx = optim.make_optimizer(cfg.train, params)
         self.opt_state = self.tx.init(params)
         self.tv = TrainVar(lr=cfg.train.base_lr)
         self.plateau = optim.PlateauLR(cfg.train)

@@ -94,3 +94,53 @@ def test_temperature_changes_beam_scores():
     r2 = beam.beam_decode_jit(params, cfg_t, 2, feats, lens)
     assert not np.allclose(np.asarray(r1.live_scores),
                            np.asarray(r2.live_scores))
+
+
+def test_learned_init_cell_state():
+    """init_cell_state_as_param (reference decoder.py:56-73): with no
+    encoder state, the decoder starts from the learned parameters."""
+    cfg = small(decoder=dict(init_cell_state_as_param=True),
+                encoder=dict(encoder_type="CNN1D"))  # CNN1D has no state
+    res, params, *_ = run_greedy(cfg)
+    assert "init_state" in params["decoder"]
+    assert np.asarray(res.tokens).shape == (2, 6)
+
+
+def test_fine_tune_freezes_non_attention_params():
+    from chinese_asr_tpu.train import optim
+    from chinese_asr_tpu.train.step import train_step
+    from test_train import make_batch
+
+    cfg = small(train=dict(fine_tune=True, base_lr=1e-2, l2_decay=0.0))
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train, params)
+    state = tx.init(params)
+    batch = make_batch(cfg)
+    p2, _, _ = jax.jit(lambda p, o, b: train_step(p, o, cfg, tx, b))(
+        params, state, batch)
+    # encoder + embedding frozen; attention + projection updated
+    np.testing.assert_array_equal(
+        np.asarray(params["encoder"]["layers"][0]["fwd"]["w_ih"]),
+        np.asarray(p2["encoder"]["layers"][0]["fwd"]["w_ih"]))
+    np.testing.assert_array_equal(np.asarray(params["decoder"]["embedding"]),
+                                  np.asarray(p2["decoder"]["embedding"]))
+    assert not np.allclose(np.asarray(params["decoder"]["proj_w"]),
+                           np.asarray(p2["decoder"]["proj_w"]))
+    assert not np.allclose(np.asarray(params["attention"]["w_enc"]),
+                           np.asarray(p2["attention"]["w_enc"]))
+
+
+def test_mha_incremental_cache_matches_full():
+    from chinese_asr_tpu.ops import self_attention as sa
+    key = jax.random.PRNGKey(0)
+    B, L, D, H = 2, 7, 16, 4
+    p = sa.init_mha(key, D, H)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, L, D).astype(np.float32))
+    full = np.asarray(sa.mha_full(p, x))
+    cache = sa.mha_init_cache(B, L, D)
+    steps = []
+    for t in range(L):
+        y, cache = sa.mha_step(p, x[:, t], cache)
+        steps.append(np.asarray(y))
+    inc = np.stack(steps, axis=1)
+    np.testing.assert_allclose(inc, full, rtol=1e-5, atol=1e-5)
