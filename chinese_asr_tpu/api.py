@@ -117,7 +117,16 @@ class ASR:
         return feats, jnp.maximum(feat_lens, 1)
 
     # ---- transcription ------------------------------------------------------
-    def transcribe_wavs(self, wavs: Sequence[np.ndarray]) -> List[str]:
+    def transcribe_wavs(self, wavs: Sequence[np.ndarray],
+                        max_batch: int = 128) -> List[str]:
+        """Transcribe a list of waveforms; lists longer than ``max_batch``
+        are chunked (128 is the v5e throughput knee, see bench.py)."""
+        if len(wavs) > max_batch:
+            out: List[str] = []
+            for s in range(0, len(wavs), max_batch):
+                out.extend(self.transcribe_wavs(wavs[s:s + max_batch],
+                                                max_batch))
+            return out
         feats, feat_lens = self._featurize([np.asarray(w, np.float32)
                                             for w in wavs])
         if not self.bw or self.bw <= 1:
@@ -156,6 +165,22 @@ class ASR:
     def __call__(self, path: str) -> str:
         """One utterance in, transcript out (main.py:100-102)."""
         return self.transcribe_files([path])[0]
+
+    def transcribe_long(self, path: str, chunk_s: float = 10.0,
+                        overlap_s: float = 0.5) -> str:
+        """Long-form audio beyond the reference's 10-second guidance
+        (its comment at main.py:34): split into ``chunk_s`` windows with
+        ``overlap_s`` lookahead, decode the batch in one device call, and
+        concatenate the per-chunk transcripts."""
+        wav, _ = audio_io.read_wav(path, self.cfg.audio.sample_rate)
+        wav = audio_io.peak_normalize(wav)
+        sr = self.cfg.audio.sample_rate
+        step = int(chunk_s * sr)
+        win = step + int(overlap_s * sr)
+        if len(wav) <= win:
+            return self.transcribe_wavs([wav])[0]
+        chunks = [wav[s:s + win] for s in range(0, len(wav), step)]
+        return "".join(self.transcribe_wavs(chunks))
 
 
 def main(argv: Optional[List[str]] = None) -> None:

@@ -219,3 +219,32 @@ def test_asr_bf16_mode(corpus):
     assert isinstance(out, str)
     g = ASR(cfg=SMALL, wav_bucket=4800, compute_dtype="bfloat16")
     assert isinstance(g(utts[0].path), str)
+
+
+def test_transcribe_batch_chunking(corpus):
+    mpath, _ = corpus
+    utts = dataset.read_manifest(mpath)
+    from chinese_asr_tpu.api import ASR
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    paths = [u.path for u in utts]            # 5 files, max_batch=2
+    wavs = []
+    for p in paths:
+        w, _ = audio_io.read_wav(p, 16000)
+        wavs.append(audio_io.peak_normalize(w))
+    chunked = asr.transcribe_wavs(wavs, max_batch=2)
+    assert len(chunked) == 5
+    single = asr.transcribe_wavs(wavs, max_batch=16)
+    # note: different padding buckets can change compiled programs but the
+    # transcripts must agree
+    assert chunked == single
+
+
+def test_transcribe_long(tmp_path):
+    from chinese_asr_tpu.api import ASR
+    rng = np.random.RandomState(0)
+    wav = (0.1 * rng.randn(16000 * 3)).astype(np.float32)  # 3 s
+    p = str(tmp_path / "long.wav")
+    audio_io.write_wav(p, wav)
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    out = asr.transcribe_long(p, chunk_s=1.0, overlap_s=0.25)
+    assert isinstance(out, str) and len(out) > 0
