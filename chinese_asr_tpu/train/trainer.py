@@ -64,7 +64,10 @@ class Trainer:
 
     # ---- eval (reference model.py:240-261) ---------------------------------
     def evaluate(self, eval_loader: Iterable[Batch]) -> float:
+        from ..utils.observe import batch_alignment_images
+
         cers, weights = [], []
+        first = True
         for b in eval_loader:
             res = greedy_decode_jit(self.params, self.cfg,
                                     jax.numpy.asarray(b.feats),
@@ -74,6 +77,18 @@ class Trainer:
             out = finalize_greedy(res, self.vocab, text=text)
             cers.append(out.wer)
             weights.append(out.n)
+            if first:
+                # attention-alignment heatmaps + sample transcripts of the
+                # first eval batch (reference model.py:268-281)
+                first = False
+                lens = np.asarray(b.feat_lens)
+                tl = np.asarray(res.final_lens)
+                for i, img in enumerate(batch_alignment_images(
+                        out.alignment[:2], lens[:2], np.maximum(tl[:2], 1))):
+                    self.logger.image(f"eval/alignment{i}", img, self.tv.step)
+                for line in rand_disp_list(out.pred_text, out.text,
+                                           n=min(3, out.n)):
+                    self.logger.text("eval/sample", line, self.tv.step)
         if not cers:
             return float("inf")
         return float(np.average(cers, weights=weights))

@@ -231,3 +231,49 @@ def test_featurizer_matches_torch_stft():
     got = np.asarray(features.log_mel(jnp.asarray(wav), T, cfg))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_encoder_gradients_match_torch(converted):
+    """Gradient-tier differential (the reference's test_lstm checks
+    forward+grad equality vs nn.LSTM, util.py:2834-2876): d(sum of valid
+    encoder outputs)/d(input) must match torch autograd through the packed
+    bidirectional stack."""
+    enc_sd, _, params = converted
+    cfg = CFG
+    H = cfg.encoder.hidden_size
+    rng = np.random.RandomState(3)
+    B, T, D = 2, 7, cfg.audio.feat_dim
+    x = rng.randn(B, T, D).astype(np.float32)
+    lens = np.array([7, 4], np.int32)
+    for i, l in enumerate(lens):
+        x[i, l:] = 0.0
+
+    # torch grad
+    xt = torch.from_numpy(x).requires_grad_(True)
+    cur = xt
+    packed_lens = torch.from_numpy(lens.astype(np.int64))
+    for i in range(cfg.encoder.num_layers):
+        lstm = torch.nn.LSTM(cur.shape[-1], H, 1, batch_first=True,
+                             bidirectional=True)
+        sd = {k.replace(f"rnn.rnn.{i}.", ""): v
+              for k, v in enc_sd.items() if k.startswith(f"rnn.rnn.{i}.")}
+        lstm.load_state_dict(sd)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            cur, packed_lens, batch_first=True, enforce_sorted=False)
+        out, _ = lstm(packed)
+        y, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True, total_length=T)
+        cur = cur + y if i > 0 else y
+    loss_t = cur.sum()
+    loss_t.backward()
+    ref_grad = xt.grad.numpy()
+
+    # jax grad
+    def loss_fn(feats):
+        out = enc_ops.apply_encoder(params["encoder"], cfg, feats,
+                                    jnp.asarray(lens))
+        return out.out.sum()
+
+    got_grad = np.asarray(jax.grad(loss_fn)(jnp.asarray(x)))
+    # padding positions contribute nothing in both systems
+    np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-3, atol=1e-4)
