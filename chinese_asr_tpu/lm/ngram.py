@@ -163,6 +163,14 @@ class NgramLM:
 
     def __init__(self, path: str):
         self.path = path
+        with open(path, "rb") as f:
+            magic = f.read(9)
+        if magic.startswith(b"mmap lm"):
+            raise ValueError(
+                f"{path} is a KenLM *binary* model; this framework reads "
+                "ARPA text models. Convert once with KenLM's "
+                "`build_binary -d model.klm model.arpa` dump or keep the "
+                "original .arpa from lmplz.")
         lib = _lib()
         self._h = None
         self._py: Optional[PyNgramLM] = None
