@@ -217,11 +217,14 @@ def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, mask):
     B, T, _ = x.shape
     H = p_fwd["w_hh"].shape[0]
 
-    def hoist(p):
-        return (x.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]
+    def hoist(p, xi):
+        return (xi.reshape(B * T, -1) @ p["w_ih"] + p["b_ih"] + p["b_hh"]
                 ).reshape(B, T, -1)
 
-    xg = jnp.stack([hoist(p_fwd), jnp.flip(hoist(p_bwd), axis=1)])
+    # flip the INPUT, not the hoisted gates: hoist is per-position linear,
+    # so flip(hoist(x)) == hoist(flip(x)) and the flip moves D instead of
+    # 4H channels
+    xg = jnp.stack([hoist(p_fwd, x), hoist(p_bwd, jnp.flip(x, axis=1))])
     w_hh = jnp.stack([p_fwd["w_hh"], p_bwd["w_hh"]])       # [2, H, 4H]
     m2 = jnp.stack([mask, jnp.flip(mask, axis=1)])         # [2, B, T]
     h0 = jnp.zeros((2, B, H), x.dtype)
