@@ -22,7 +22,6 @@ reference's trimmed AudioBase expected (data.py:402-431).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 

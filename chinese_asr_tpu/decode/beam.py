@@ -23,7 +23,7 @@ fairseq-style flattened-beam search re-designed for XLA:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ one jitted program; prefix rescoring is one batched C++ LM call per step
 
 from __future__ import annotations
 
-import functools
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,9 +12,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from .config import Config
 from .data import dataset as ds_mod
 from .decode import beam as beam_mod

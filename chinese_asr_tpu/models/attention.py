@@ -9,12 +9,12 @@ the per-step decoder matmuls contiguous for the MXU.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import AttentionConfig, DecoderConfig
+from ..config import AttentionConfig
 
 Params = Dict[str, jnp.ndarray]
 

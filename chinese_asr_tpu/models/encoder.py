@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..config import Config, EncoderConfig

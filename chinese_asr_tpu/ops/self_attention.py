@@ -19,7 +19,7 @@ Layouts are batch-major [B, L, D]; the windowed gather is fixed-shape
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,6 @@ capabilities at scale:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -14,7 +14,7 @@ import json
 import os
 import random
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
