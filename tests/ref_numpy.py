@@ -57,7 +57,14 @@ def prologue(params, cfg, feats, feat_lens):
     eb = las.encode(params, cfg, jnp.asarray(feats), jnp.asarray(feat_lens))
     mask = np.asarray(eb.mask)
     keys, values = np.asarray(eb.keys), np.asarray(eb.values)
-    cell = [(np.asarray(s[0]), np.asarray(s[1])) for s in eb.init_cell_state]
+    if eb.init_cell_state is None:
+        B = feats.shape[0]
+        H = cfg.decoder.hidden_size
+        z = np.zeros((B, H), np.float32)
+        cell = [(z, z) for _ in range(cfg.decoder.num_layers)]
+    else:
+        cell = [(np.asarray(s[0]), np.asarray(s[1]))
+                for s in eb.init_cell_state]
     return mask, keys, values, cell
 
 

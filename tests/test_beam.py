@@ -115,3 +115,42 @@ def test_second_pass_rescoring_selects_lm_favorite():
             # among longest hyps the rescorer must pick by logp + lm
             assert len(resc.pred_text[b_i]) == best_len
     assert base.n == resc.n
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_beam_fuzz_random_configs(seed):
+    """Property fuzz: random (B, bw, T, vocab) against the independent
+    numpy implementation."""
+    rng = np.random.RandomState(100 + seed)
+    bw = int(rng.choice([1, 2, 3, 5, 8]))
+    B = int(rng.randint(1, 4))
+    T = int(rng.randint(4, 12))
+    V = int(rng.choice([12, 20, 33]))
+    cfg = (Config()
+           .with_("audio", n_mels=8, delta_delta=False, downsample=False)
+           .with_("encoder", hidden_size=8, num_layers=1,
+                  bidirectional=bool(rng.randint(2)))
+           .with_("decoder", hidden_size=16, embed_dim=8)
+           .with_("attention", attn_size=8)
+           .with_("vocab", max_num_words=V - 4)
+           .with_("decode", max_len=int(rng.randint(3, 9))))
+    params = las.init_params(jax.random.PRNGKey(seed), cfg)
+    feats = rng.randn(B, T, cfg.audio.feat_dim).astype(np.float32)
+    lens = rng.randint(1, T + 1, size=B).astype(np.int32)
+    lens[0] = T
+    for i, l in enumerate(lens):
+        feats[i, l:] = 0.0
+
+    res = beam.beam_decode_jit(params, cfg, bw, jnp.asarray(feats),
+                               jnp.asarray(lens))
+    ref_fin, ref_hist, ref_scores, ref_l = ref_numpy.numpy_beam(
+        params, cfg, bw, feats, lens)
+    got_fin = collect_jax_nbest(res)
+    assert int(res.l_final) == ref_l, (seed, bw, B, T)
+    for b in range(B):
+        ref_h = ref_fin.get(b, [])
+        got_h = got_fin[b]
+        assert len(got_h) == len(ref_h), (seed, b)
+        for (gt, gs), (rt, rs) in zip(got_h, ref_h):
+            assert gt == rt, (seed, b)
+            assert abs(gs - rs) < 1e-3
