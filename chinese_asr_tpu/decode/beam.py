@@ -241,10 +241,34 @@ def finalize_beam(res: BeamResult, cfg: Config, vocab, text=None,
     l_final = int(res.l_final)
     B = fin_tokens.shape[0]
 
-    outputs = []
+    # per-sample n-best hypothesis lists
+    all_hyps = []
     for b in range(B):
         valid = np.nonzero(np.isfinite(fin_scores[b]))[0]
-        n = len(valid)
+        all_hyps.append([
+            (fin_tokens[b, i, : fin_lens[b, i]].tolist(),
+             float(fin_scores[b, i])) for i in valid])
+
+    # second pass: ONE batched LM call over every hypothesis of every
+    # sample (SURVEY section 2.b — the reference scores one python string
+    # at a time, model.py:755)
+    lm_all = None
+    if second_pass:
+        assert lm_model is not None, "second pass needs a language model"
+        flat = [" ".join(vocab.int2word[i] for i in ids)
+                for hyps in all_hyps for ids, _ in hyps]
+        if flat:
+            if hasattr(lm_model, "score_batch"):
+                lm_all = np.asarray(lm_model.score_batch(flat, bos=True))
+            else:
+                lm_all = np.asarray([lm_model.score(s, bos=True)
+                                     for s in flat])
+
+    outputs = []
+    off = 0
+    for b in range(B):
+        hyps = all_hyps[b]
+        n = len(hyps)
         if n == 0:
             # fallback: best live beam (model.py:961-972)
             act = live_scores[b] + length_weight * (l_final + 1)
@@ -252,19 +276,15 @@ def finalize_beam(res: BeamResult, cfg: Config, vocab, text=None,
             ids = live_tokens[b, j, : l_final + 1].tolist()
             outputs.append((ids, float(act[j])))
             continue
-        hyps = [(fin_tokens[b, i, : fin_lens[b, i]].tolist(), float(fin_scores[b, i]))
-                for i in valid]
-        if second_pass and len(hyps) > 1:
-            assert lm_model is not None, "second pass needs a language model"
+        if second_pass and n > 1:
             # score = logp + w_lm * lm + w_len * len  (model.py:749-763)
-            rescored = []
-            for ids, logp in hyps:
-                lm_s = lm_model.score(" ".join(vocab.int2word[i] for i in ids),
-                                      bos=True)
-                rescored.append(logp + lm_weight * lm_s + length_weight * len(ids))
+            rescored = [logp + lm_weight * lm_all[off + i]
+                        + length_weight * len(ids)
+                        for i, (ids, logp) in enumerate(hyps)]
             outputs.append(hyps[int(np.argmax(rescored))])
         else:
             outputs.append(max(hyps, key=lambda h: h[1]))
+        off += n
 
     pred_text = [vocab.decode(ids) for ids, _ in outputs]
     score = [s for _, s in outputs]
