@@ -196,6 +196,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--bw", type=int, default=None, help="beam width")
     ap.add_argument("--transcode", action="store_true",
                     help="force ffmpeg ingest")
+    ap.add_argument("--serve", action="store_true",
+                    help="after the initial wavs, keep reading wav paths "
+                         "from stdin, one transcript per line (the service "
+                         "mode the reference sketches at main.py:9-16)")
     args = ap.parse_args(argv)
 
     asr = ASR(ckpt_path=args.ckpt, lm_path=args.lm, bw=args.bw,
@@ -203,6 +207,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     for path, text in zip(args.wav,
                           asr.transcribe_files(args.wav, args.transcode)):
         print(f"{path}\t{text}")
+    if args.serve:
+        import sys
+        for line in sys.stdin:
+            path = line.strip()
+            if not path:
+                continue
+            try:
+                print(f"{path}\t{asr(path)}", flush=True)
+            except Exception as e:                      # keep serving
+                print(f"{path}\tERROR: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -276,7 +276,7 @@ def init_res_cnn(key, in_c: int, out_c: int, dtype=jnp.float32) -> Params:
         "conv2": conv_ops.init_same_conv2d(k2, out_c, out_c, 3, dtype),
     }
     for i in (1, 2):
-        p[f"bn{i}"] = conv_ops._norm_params(out_c, "BN", dtype)
+        p[f"bn{i}"] = conv_ops.norm_params(out_c, "BN", dtype)
     if in_c != out_c:
         p["down"] = conv_ops.init_same_conv2d(k3, in_c, out_c, 1, dtype)
     return p
@@ -287,10 +287,10 @@ def res_cnn(p: Params, x, lens, train=False):
     (reference ResCNN, encoder.py:411-478)."""
     m = length_mask(lens, x.shape[1], x.dtype)[:, :, None, None]
     y = conv_ops.same_conv2d(p["conv1"], x) * m
-    y = conv_ops._apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2))
     y = jax.nn.relu(y) * m
     y = conv_ops.same_conv2d(p["conv2"], y) * m
-    y = conv_ops._apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2))
     if "down" in p:
         x = conv_ops.same_conv2d(p["down"], x)
     return jax.nn.relu(x + y) * m, lens
@@ -302,8 +302,8 @@ def init_res_conv_lstm(key, in_c: int, out_c: int, ks: int = 3,
     p = {
         "cl1": cl_ops.init_bconv_lstm(k1, in_c, out_c, ks, dtype),
         "cl2": cl_ops.init_bconv_lstm(k2, 2 * out_c, out_c, ks, dtype),
-        "bn1": conv_ops._norm_params(2 * out_c, "BN", dtype),
-        "bn2": conv_ops._norm_params(2 * out_c, "BN", dtype),
+        "bn1": conv_ops.norm_params(2 * out_c, "BN", dtype),
+        "bn2": conv_ops.norm_params(2 * out_c, "BN", dtype),
     }
     if in_c != 2 * out_c:
         p["down"] = conv_ops.init_same_conv2d(k3, in_c, 2 * out_c, 1, dtype)
@@ -316,10 +316,10 @@ def res_conv_lstm(p: Params, x, lens, train=False):
     [b, 2, c', h, w] is our channel-concat [B, T, F, 2c'])."""
     m = length_mask(lens, x.shape[1], x.dtype)[:, :, None, None]
     y, _ = cl_ops.bconv_lstm(p["cl1"], x, lens)
-    y = conv_ops._apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2))
     y = jax.nn.relu(y) * m
     y, _ = cl_ops.bconv_lstm(p["cl2"], y, lens)
-    y = conv_ops._apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2))
     if "down" in p:
         x = conv_ops.same_conv2d(p["down"], x)
     return jax.nn.relu(x + y) * m, lens

@@ -43,7 +43,7 @@ def conv_out_len(lens, ks: int, stride: int):
     return jnp.maximum((lens - ks + stride - 1) // stride + 1, 0)
 
 
-def _norm_params(out_c: int, norm: str, dtype) -> Params:
+def norm_params(out_c: int, norm: str, dtype) -> Params:
     p = {}
     if norm != "NONE":
         p["norm_scale"] = jnp.ones((out_c,), dtype)
@@ -54,7 +54,7 @@ def _norm_params(out_c: int, norm: str, dtype) -> Params:
     return p
 
 
-def _apply_norm(p: Params, y, norm: str, train: bool, eps: float = 1e-5,
+def apply_norm(p: Params, y, norm: str, train: bool, eps: float = 1e-5,
                 spatial_axes: Tuple[int, ...] = (1,)):
     """y [..., C]; BN normalizes per channel over batch+spatial (padding
     included, matching the reference), LN over channels, IN per-sample over
@@ -104,7 +104,7 @@ def init_conv1d(key, in_c: int, out_c: int, ks: int, norm: str = "NONE",
     # torch Conv1d weight [out, in, ks]: xavier fans are (in*ks, out*ks)
     w = _xavier(kw, (ks, in_c, out_c), in_c * ks, out_c * ks, dtype)
     p = {"w": w, "b": jnp.zeros((out_c,), dtype)}
-    p.update(_norm_params(out_c, norm, dtype))
+    p.update(norm_params(out_c, norm, dtype))
     return p
 
 
@@ -123,7 +123,7 @@ def conv1d_block(p: Params, x, lens, ks: int, stride: int, act: str = "NONE",
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC")) + p["b"]
-    y = _apply_norm(p, y, norm, train)
+    y = apply_norm(p, y, norm, train)
     y = _apply_act(y, act)
     if skip_connect:
         ident = x[:, ks - 1::stride, :]
@@ -142,7 +142,7 @@ def init_conv2d(key, in_c: int, out_c: int, ks, norm: str = "NONE",
     w = _xavier(key, (kh, kw_, in_c, out_c), in_c * kh * kw_,
                 out_c * kh * kw_, dtype)
     p = {"w": w, "b": jnp.zeros((out_c,), dtype)}
-    p.update(_norm_params(out_c, norm, dtype))
+    p.update(norm_params(out_c, norm, dtype))
     return p
 
 
@@ -166,7 +166,7 @@ def conv2d_block(p: Params, x, lens, ks, stride, act: str = "NONE",
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(st, sf), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
-    y = _apply_norm(p, y, norm, train, spatial_axes=(1, 2))
+    y = apply_norm(p, y, norm, train, spatial_axes=(1, 2))
     y = _apply_act(y, act)
     if skip_connect:
         ident = x[:, kt - 1::st, kf - 1::sf, :]
