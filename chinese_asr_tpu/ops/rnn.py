@@ -227,6 +227,18 @@ def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, mask):
     xg = jnp.stack([hoist(p_fwd, x), hoist(p_bwd, jnp.flip(x, axis=1))])
     w_hh = jnp.stack([p_fwd["w_hh"], p_bwd["w_hh"]])       # [2, H, 4H]
     m2 = jnp.stack([mask, jnp.flip(mask, axis=1)])         # [2, B, T]
+
+    from ..audio.features import _use_pallas
+    if _use_pallas() and x.dtype == jnp.float32:
+        # fused Pallas time loop (ops/pallas/lstm.py): the sequential part
+        # runs as one kernel with the carry resident in VMEM
+        from .pallas import lstm as pallas_lstm
+        ys, hT, cT = pallas_lstm.bidir_lstm_time_loop(
+            jnp.moveaxis(xg, 2, 0), jnp.moveaxis(m2, 2, 0), w_hh)
+        ys = jnp.moveaxis(ys, 0, 2)                        # [2, B, T, H]
+        return (ys[0], jnp.flip(ys[1], axis=1),
+                (hT[0], cT[0]), (hT[1], cT[1]))
+
     h0 = jnp.zeros((2, B, H), x.dtype)
     c0 = jnp.zeros((2, B, H), x.dtype)
 
