@@ -197,6 +197,37 @@ def make_eval_loader(manifest_path: str, cfg: Config, vocab: Vocab) -> Loader:
     return Loader(ds, cfg.train.eval_batch_size, shuffle=False)
 
 
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: host wav reading / collation overlaps
+    device compute (the role of the reference's DataLoader workers,
+    data.py:467-474, without multiprocess overhead on a 1-core host)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:                        # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def batches_to_device(loader: Loader, cfg: Config):
     """Generator adapting host batches to jitted-featurizer train Batches:
     featurization runs on device (audio/features.py), then the Batch feeds
@@ -213,7 +244,7 @@ def batches_to_device(loader: Loader, cfg: Config):
     def feat_fn(n_samples: int):
         return jax.jit(lambda w, l: features.featurize_batch(w, l, cfg.audio))
 
-    for wav_mat, wav_lens, ti, to, tl in loader:
+    for wav_mat, wav_lens, ti, to, tl in prefetch(iter(loader)):
         feats, feat_lens = feat_fn(wav_mat.shape[1])(
             jnp.asarray(wav_mat), jnp.asarray(wav_lens))
         if ti is None:

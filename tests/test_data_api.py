@@ -248,3 +248,17 @@ def test_transcribe_long(tmp_path):
     asr = ASR(cfg=SMALL, wav_bucket=4800)
     out = asr.transcribe_long(p, chunk_s=1.0, overlap_s=0.25)
     assert isinstance(out, str) and len(out) > 0
+
+
+def test_prefetch_order_and_errors():
+    from chinese_asr_tpu.data.dataset import prefetch
+    assert list(prefetch(iter(range(7)), size=2)) == list(range(7))
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(bad(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)
