@@ -77,6 +77,13 @@ class ASR:
             self.params = jax.tree_util.tree_map(
                 jnp.asarray, load_checkpoint(ckpt_path)["params"])
 
+        emb_rows = self.params["decoder"]["embedding"].shape[0]
+        if emb_rows != self.cfg.vocab.vocab_size:
+            raise ValueError(
+                f"checkpoint vocab size {emb_rows} != config vocab size "
+                f"{self.cfg.vocab.vocab_size}; pass cfg=Config().with_("
+                f"'vocab', max_num_words={emb_rows - 4})")
+
         if self.compute_dtype != jnp.float32:
             # bf16 inference: weights + activations in compute_dtype, beam /
             # greedy score arithmetic stays f32 (decode/ casts logits up)

@@ -51,8 +51,18 @@ def _make_step(cfg: Config, topn: int):
 
 
 def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
-                         lm, vocab, topn: int = 20):
-    """Returns (n-best token lists per sample, scores per sample)."""
+                         lm, vocab, topn: int = 20,
+                         incremental: bool = None):
+    """Returns (n-best token lists per sample, scores per sample).
+
+    ``incremental`` (default: auto when the C++ LM backend is loaded) keeps
+    one n-gram context state per beam and scores candidate continuations
+    with the batched base-score kernel — O(1) LM work per (beam, candidate)
+    instead of rescoring the whole prefix string every step.  Totals are
+    identical: score(prefix + w) == cum(prefix) + base(state(prefix), w).
+    """
+    if incremental is None:
+        incremental = bool(getattr(lm, "has_batch_states", False))
     B = feats.shape[0]
     k = bw
     V = cfg.vocab.vocab_size
@@ -82,19 +92,36 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     def words(ids):
         return [vocab.int2word[int(i)] for i in ids]
 
+    if incremental:
+        cap = lm.state_capacity()
+        # token id -> LM vocab id, computed once
+        tok2lm = lm.word_ids([vocab.int2word[t] for t in range(V)])
+        states = np.zeros((B * k, cap), np.uint32)
+        state_lens = np.zeros(B * k, np.int32)
+        cum = np.zeros(B * k, np.float64)
+
     for l in range(max_len):
         out = step(params["decoder"], params["attention"], eb.mask, eb.keys,
                    eb.values, jnp.asarray(tokens), cell, attn_hidden)
         top_tokens = np.asarray(out.top_tokens)          # [B*k, n]
 
-        # --- batched prefix rescoring: one FFI call per step -------------
-        sents = []
-        for i in range(B * k):
-            base = words(hist[i])
-            for j in range(topn):
-                sents.append(" ".join(base + words([top_tokens[i, j]])))
-        lm_scores = np.asarray(lm.score_batch(sents, bos=False, eos=False))
-        lm_scores = lm_scores.reshape(B * k, topn)
+        if incremental:
+            # one batched base-score call over all (beam, candidate) pairs
+            rep_states = np.repeat(states, topn, axis=0)
+            rep_lens = np.repeat(state_lens, topn)
+            cand_words = tok2lm[top_tokens.ravel()].astype(np.uint32)
+            base = lm.base_score_batch_np(rep_states, rep_lens, cand_words)
+            lm_scores = cum[:, None] + base.reshape(B * k, topn)
+        else:
+            # full-prefix rescoring, one batched string call per step
+            sents = []
+            for i in range(B * k):
+                base_w = words(hist[i])
+                for j in range(topn):
+                    sents.append(" ".join(base_w + words([top_tokens[i, j]])))
+            lm_scores = np.asarray(
+                lm.score_batch(sents, bos=False, eos=False)
+            ).reshape(B * k, topn)
 
         scores = np.full((B * k, V), -np.inf)
         np.put_along_axis(scores, top_tokens, lm_scores, axis=1)
@@ -133,6 +160,15 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         cell = [tuple(e[sel_d] for e in s) if isinstance(s, tuple)
                 else s[sel_d] for s in out.cell_state]
         attn_hidden = out.attn_hidden[sel_d]
+        if incremental:
+            # reorder contexts to the surviving beams, fold in the chosen
+            # word's score, and advance the n-gram states in place
+            states = np.ascontiguousarray(states[sel])
+            state_lens = np.ascontiguousarray(state_lens[sel])
+            chosen = tok2lm[np.asarray(sel_toks)].astype(np.uint32)
+            cum = cum[sel] + lm.base_score_batch_np(states, state_lens,
+                                                    chosen)
+            lm.advance_batch_np(states, state_lens, chosen)
 
     results = []
     for b in range(B):

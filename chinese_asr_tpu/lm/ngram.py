@@ -133,6 +133,14 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                   ctypes.POINTER(ctypes.c_int32)]
     lib.lm_bos_id.restype = ctypes.c_uint32
     lib.lm_bos_id.argtypes = [ctypes.c_void_p]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.lm_base_score_batch.restype = None
+    lib.lm_base_score_batch.argtypes = [ctypes.c_void_p, _u32p, _i32p,
+                                        ctypes.c_int32, _u32p,
+                                        ctypes.c_int32, _f64p]
+    lib.lm_advance_batch.restype = None
+    lib.lm_advance_batch.argtypes = [ctypes.c_void_p, _u32p, _i32p,
+                                     ctypes.c_int32, _u32p, ctypes.c_int32]
     return lib
 
 
@@ -255,6 +263,48 @@ class NgramLM:
                                     int(wid), out_ids.ctypes.data_as(_u32p),
                                     ctypes.byref(out_len))
         return float(s), State(tuple(int(x) for x in out_ids[: out_len.value]))
+
+    # ---- numpy-level incremental batch API (C++ backend only) --------------
+    @property
+    def has_batch_states(self) -> bool:
+        return self._py is None
+
+    def state_capacity(self) -> int:
+        return max(1, self.order - 1)
+
+    def word_ids(self, words: Sequence[str]) -> np.ndarray:
+        """Map word strings to LM vocab ids (OOV -> <unk>)."""
+        assert self._py is None
+        return self._ids(list(words))
+
+    def base_score_batch_np(self, states: np.ndarray, state_lens: np.ndarray,
+                            words: np.ndarray) -> np.ndarray:
+        """Score n (state, word) pairs in ONE FFI call; states unchanged.
+
+        states [n, cap] uint32 C-contiguous, state_lens [n] int32,
+        words [n] uint32 -> [n] float64 log10."""
+        assert self._py is None
+        n, cap = states.shape
+        out = np.zeros(n, np.float64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.lm_base_score_batch(
+            self._h, np.ascontiguousarray(states).ctypes.data_as(_u32p),
+            np.ascontiguousarray(state_lens).ctypes.data_as(i32p), cap,
+            np.ascontiguousarray(words).ctypes.data_as(_u32p), n,
+            out.ctypes.data_as(_f64p))
+        return out
+
+    def advance_batch_np(self, states: np.ndarray, state_lens: np.ndarray,
+                         words: np.ndarray) -> None:
+        """Advance n states by one word each, IN PLACE."""
+        assert self._py is None
+        n, cap = states.shape
+        assert states.flags["C_CONTIGUOUS"] and state_lens.flags["C_CONTIGUOUS"]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.lm_advance_batch(
+            self._h, states.ctypes.data_as(_u32p),
+            state_lens.ctypes.data_as(i32p), cap,
+            np.ascontiguousarray(words).ctypes.data_as(_u32p), n)
 
     def num_ngrams(self) -> int:
         if self._py is not None:

@@ -281,4 +281,36 @@ double lm_base_score(void* h, const uint32_t* in_state, int32_t in_len,
 uint32_t lm_bos_id(void* h) { return static_cast<Model*>(h)->bos_id; }
 uint32_t lm_eos_id(void* h) { return static_cast<Model*>(h)->eos_id; }
 
+// Batched incremental scoring: n independent (state, word) pairs in one
+// FFI crossing (for first-pass-LM beam decode, where every beam scores
+// topn candidate continuations per step).
+//   states:  [n, cap] uint32, lengths in state_lens
+//   words:   [n]
+//   out:     [n] log10 scores
+// States are NOT advanced (candidates are hypothetical); use
+// lm_advance_batch for the chosen survivors.
+void lm_base_score_batch(void* h, const uint32_t* states,
+                         const int32_t* state_lens, int32_t cap,
+                         const uint32_t* words, int32_t n, double* out) {
+  Model* m = static_cast<Model*>(h);
+  for (int32_t i = 0; i < n; ++i) {
+    out[i] = score_one(m, states + static_cast<int64_t>(i) * cap,
+                       state_lens[i], words[i]);
+  }
+}
+
+// Advance n states by one word each, in place.
+void lm_advance_batch(void* h, uint32_t* states, int32_t* state_lens,
+                      int32_t cap, const uint32_t* words, int32_t n) {
+  Model* m = static_cast<Model*>(h);
+  for (int32_t i = 0; i < n; ++i) {
+    uint32_t nxt[kMaxOrder];
+    int nlen = 0;
+    uint32_t* s = states + static_cast<int64_t>(i) * cap;
+    advance_state(m, s, state_lens[i], words[i], nxt, &nlen);
+    std::memcpy(s, nxt, nlen * sizeof(uint32_t));
+    state_lens[i] = nlen;
+  }
+}
+
 }  // extern "C"

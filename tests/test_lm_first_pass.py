@@ -76,3 +76,33 @@ def test_eos_harvest_finishes_early(tmp_path):
         # scores sorted best-first
         ss = [s for _, s in hyps]
         assert ss == sorted(ss, reverse=True)
+
+
+def test_incremental_matches_full_prefix(tmp_path):
+    """Incremental state path must produce the same n-best as full-prefix
+    rescoring, including with bigram context."""
+    lines = ["\\data\\", "ngram 1=11", "ngram 2=3", "", "\\1-grams:",
+             "-9.0\t<unk>", "-9.0\t<s>", "-1.2\t</s>",
+             "-0.4\ta\t-0.2", "-0.9\tb\t-0.1"]
+    for ch in "cdefgh":
+        lines.append(f"-5.0\t{ch}")
+    lines += ["", "\\2-grams:", "-0.1\ta b", "-0.3\tb a", "-0.2\ta </s>",
+              "", "\\end\\", ""]
+    p = tmp_path / "bi.arpa"
+    p.write_text("\n".join(lines))
+    lm = ngram.NgramLM(str(p))
+    assert lm.has_batch_states
+
+    cfg = SMALL
+    vocab = make_vocab()
+    params = las.init_params(jax.random.PRNGKey(1), cfg)
+    feats, lens = inputs(cfg)
+    inc = lm_first_pass.lm_first_pass_decode(
+        params, cfg, 2, feats, lens, lm, vocab, topn=10, incremental=True)
+    full = lm_first_pass.lm_first_pass_decode(
+        params, cfg, 2, feats, lens, lm, vocab, topn=10, incremental=False)
+    assert len(inc) == len(full)
+    for hi, hf in zip(inc, full):
+        assert [ids for ids, _ in hi] == [ids for ids, _ in hf]
+        for (_, si), (_, sf) in zip(hi, hf):
+            assert abs(si - sf) < 1e-6
