@@ -230,17 +230,24 @@ def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, mask):
 
     from ..audio.features import _use_pallas
     if _use_pallas() and x.dtype == jnp.float32:
-        # fused Pallas time loop (ops/pallas/lstm.py): the sequential part
-        # runs as one kernel with the carry resident in VMEM
-        from .pallas import lstm as pallas_lstm
-        ys, hT, cT = pallas_lstm.bidir_lstm_time_loop(
-            jnp.moveaxis(xg, 2, 0), jnp.moveaxis(m2, 2, 0), w_hh)
-        ys = jnp.moveaxis(ys, 0, 2)                        # [2, B, T, H]
-        return (ys[0], jnp.flip(ys[1], axis=1),
-                (hT[0], cT[0]), (hT[1], cT[1]))
+        ys, hT, cT = _bidir_core_pallas(jnp.moveaxis(xg, 2, 0),
+                                        jnp.moveaxis(m2, 2, 0), w_hh)
+    else:
+        ys, hT, cT = _bidir_core_scan(jnp.moveaxis(xg, 2, 0),
+                                      jnp.moveaxis(m2, 2, 0), w_hh)
+    ys = jnp.moveaxis(ys, 0, 2)                            # [2, B, T, H]
+    return ys[0], jnp.flip(ys[1], axis=1), (hT[0], cT[0]), (hT[1], cT[1])
 
-    h0 = jnp.zeros((2, B, H), x.dtype)
-    c0 = jnp.zeros((2, B, H), x.dtype)
+
+def _bidir_core_scan(xg, m2, w_hh):
+    """Direction-fused LSTM time loop as a lax.scan.
+
+    xg [T, 2, B, 4H], m2 [T, 2, B], w_hh [2, H, 4H] ->
+    (ys [T, 2, B, H], hT [2, B, H], cT [2, B, H])."""
+    _, G, B, H4 = xg.shape
+    H = H4 // 4
+    h0 = jnp.zeros((G, B, H), xg.dtype)
+    c0 = jnp.zeros((G, B, H), xg.dtype)
 
     def body(carry, inp):
         h, c = carry
@@ -254,11 +261,33 @@ def _scan_lstm_bidir(p_fwd: Params, p_bwd: Params, x, mask):
         c = m * c2 + (1.0 - m) * c
         return (h, c), h2 * m
 
-    (hT, cT), ys = jax.lax.scan(
-        body, (h0, c0), (jnp.moveaxis(xg, 2, 0), jnp.moveaxis(m2, 2, 0)),
-        unroll=SCAN_UNROLL)
-    ys = jnp.moveaxis(ys, 0, 2)                            # [2, B, T, H]
-    return ys[0], jnp.flip(ys[1], axis=1), (hT[0], cT[0]), (hT[1], cT[1])
+    (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xg, m2),
+                                unroll=SCAN_UNROLL)
+    return ys, hT, cT
+
+
+@jax.custom_vjp
+def _bidir_core_pallas(xg, m2, w_hh):
+    """Fused Pallas time loop (ops/pallas/lstm.py): carry resident in VMEM.
+
+    custom_vjp because Pallas kernels carry no autodiff rule: the backward
+    pass recomputes the forward with the scan implementation (identical
+    math) and uses its VJP — rematerialization, exactly what a remat'd
+    scan would do anyway."""
+    from .pallas import lstm as pallas_lstm
+    return tuple(pallas_lstm.bidir_lstm_time_loop(xg, m2, w_hh))
+
+
+def _bidir_core_fwd(xg, m2, w_hh):
+    return _bidir_core_pallas(xg, m2, w_hh), (xg, m2, w_hh)
+
+
+def _bidir_core_bwd(res, g):
+    _, vjp = jax.vjp(_bidir_core_scan, *res)
+    return vjp(tuple(g))
+
+
+_bidir_core_pallas.defvjp(_bidir_core_fwd, _bidir_core_bwd)
 
 
 def bidir_rnn_layer(mode: str, p_fwd: Params, p_bwd: Params, x, lens, mask):

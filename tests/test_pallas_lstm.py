@@ -50,3 +50,35 @@ def test_kernel_matches_scan_path():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cT[1]), np.asarray(s_b[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_custom_vjp_grad_matches_scan(monkeypatch):
+    """Training differentiates through the encoder: the pallas core's
+    custom_vjp (scan-recompute backward) must produce the scan path's
+    gradients exactly."""
+    import functools
+    from chinese_asr_tpu.ops.pallas import lstm as pl_lstm
+    monkeypatch.setattr(pl_lstm, "bidir_lstm_time_loop",
+                        functools.partial(pl_lstm.bidir_lstm_time_loop.__wrapped__
+                                          if hasattr(pl_lstm.bidir_lstm_time_loop, "__wrapped__")
+                                          else pl_lstm.bidir_lstm_time_loop,
+                                          interpret=True))
+    rng = np.random.RandomState(2)
+    T, G, B, H = 7, 2, 3, 8
+    xg = jnp.asarray(rng.randn(T, G, B, 4 * H).astype(np.float32))
+    m2 = jnp.asarray((rng.rand(T, G, B) > 0.2).astype(np.float32))
+    w = jnp.asarray(0.3 * rng.randn(G, H, 4 * H).astype(np.float32))
+
+    def loss_pallas(xg, w):
+        ys, hT, cT = rnn_ops._bidir_core_pallas(xg, m2, w)
+        return (ys ** 2).sum() + hT.sum() + (cT ** 2).sum()
+
+    def loss_scan(xg, w):
+        ys, hT, cT = rnn_ops._bidir_core_scan(xg, m2, w)
+        return (ys ** 2).sum() + hT.sum() + (cT ** 2).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(xg, w)
+    gs = jax.grad(loss_scan, argnums=(0, 1))(xg, w)
+    for a, b in zip(gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
