@@ -25,11 +25,28 @@ from .step import Batch
 
 class Trainer:
     def __init__(self, cfg: Config, params, vocab=None,
-                 logger: Optional[MetricsLogger] = None):
+                 logger: Optional[MetricsLogger] = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for multi-chip SPMD
+        training — params get the parallel/sharding.py layout (data-
+        parallel batch, vocab-dim tensor parallelism) and the train step
+        compiles over the mesh."""
         self.cfg = cfg
-        self.params = params
         self.vocab = vocab
         self.tx = optim.make_optimizer(cfg.train, params)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import sharding
+            params = sharding.shard_params(params, cfg, mesh)
+            self._step_fn = sharding.make_sharded_train_step(
+                cfg, self.tx, params, mesh)
+            self._shard_batch = lambda b: sharding.shard_batch(b, cfg, mesh)
+        else:
+            jit_fn = jax.jit(functools.partial(
+                step_mod.train_step, cfg=cfg, tx=self.tx))
+            self._step_fn = lambda p, o, batch, rng: jit_fn(
+                p, o, batch=batch, rng=rng)
+            self._shard_batch = lambda b: b
+        self.params = params
         self.opt_state = self.tx.init(params)
         self.tv = TrainVar(lr=cfg.train.base_lr)
         self.plateau = optim.PlateauLR(cfg.train)
@@ -37,8 +54,6 @@ class Trainer:
         self.logger = logger or MetricsLogger(cfg.train.save_dir)
         self.ema = EMA(0.99)
         self.duration = Duration()
-        self._step_fn = jax.jit(functools.partial(
-            step_mod.train_step, cfg=cfg, tx=self.tx))
         self._rng = jax.random.PRNGKey(cfg.train.seed)
 
     # ---- resume (reference model.py:137-158) ------------------------------
@@ -110,9 +125,10 @@ class Trainer:
                         optim.ramp_up_lr(self.plateau.lr, self.tv.step,
                                          cfg.ramp_up_iters))
                 self._rng, sk = jax.random.split(self._rng)
-                jb = Batch(*[jax.numpy.asarray(x) for x in batch])
+                jb = self._shard_batch(
+                    Batch(*[jax.numpy.asarray(x) for x in batch]))
                 self.params, self.opt_state, metrics = self._step_fn(
-                    self.params, self.opt_state, batch=jb, rng=sk)
+                    self.params, self.opt_state, jb, sk)
                 loss = float(metrics["loss"])
                 self.tv.step += 1
                 self.tv.loss = loss

@@ -93,3 +93,27 @@ def test_sharded_beam_matches_single_device():
                                   np.asarray(r2.fin_count))
     np.testing.assert_allclose(np.asarray(r1.fin_scores),
                                np.asarray(r2.fin_scores), rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_on_mesh(tmp_path):
+    """Full Trainer loop compiled over the 8-device mesh."""
+    from chinese_asr_tpu.train.trainer import Trainer
+    from chinese_asr_tpu.vocab import Vocab
+    from test_train import make_batch
+
+    cfg = (mesh_cfg()
+           .with_("train", batch_size=8, eval_batch_size=8, epochs=1,
+                  num_eval_steps=-1, save_dir=str(tmp_path / "ck")))
+    mesh = sharding.make_mesh(cfg)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    vocab = Vocab.build(["abcdefghijklmnop"],
+                        max_num_words=cfg.vocab.max_num_words)
+    tr = Trainer(cfg, params, vocab, mesh=mesh)
+    batch = make_batch(cfg, B=8)
+
+    def loader():
+        for _ in range(3):
+            yield batch
+
+    tv = tr.fit(loader, None, max_steps=3)
+    assert tv.step == 3 and np.isfinite(tv.loss)
