@@ -31,8 +31,11 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
     t0 = time.perf_counter()
     for b in ds_mod.batches_to_device(loader, cfg):
         feats, feat_lens = b.feats, b.feat_lens
-        text = [np.asarray(b.tokens_out[i][: b.text_lens[i] - 1]).tolist()
-                for i in range(len(b.text_lens))]
+        # ONE device->host transfer per batch; per-sample indexing of
+        # device arrays costs a tunnel round-trip each
+        to_np = np.asarray(b.tokens_out)
+        tl_np = np.asarray(b.text_lens)
+        text = [to_np[i, : tl_np[i] - 1].tolist() for i in range(len(tl_np))]
         if not bw or bw <= 1:
             res = greedy_mod.greedy_decode_jit(params, cfg, feats, feat_lens)
             out = greedy_mod.finalize_greedy(res, vocab, text=text)

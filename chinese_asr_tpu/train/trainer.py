@@ -87,8 +87,10 @@ class Trainer:
             res = greedy_decode_jit(self.params, self.cfg,
                                     jax.numpy.asarray(b.feats),
                                     jax.numpy.asarray(b.feat_lens))
-            text = [np.asarray(b.tokens_out[i][: b.text_lens[i] - 1]).tolist()
-                    for i in range(len(b.text_lens))]          # strip eos
+            to_np = np.asarray(b.tokens_out)       # one transfer per batch
+            tl_np = np.asarray(b.text_lens)
+            text = [to_np[i, : tl_np[i] - 1].tolist()
+                    for i in range(len(tl_np))]                # strip eos
             out = finalize_greedy(res, self.vocab, text=text)
             cers.append(out.wer)
             weights.append(out.n)
