@@ -241,6 +241,10 @@ def featurize_batch(wavs, wav_lens, cfg: AudioConfig, norm_eps: float = 1e-7):
     Padded frames are zeroed pre-delta (parity with per-utterance zero conv
     padding) and excluded from the instance-norm statistics.
     """
+    if wavs.dtype == jnp.int16:
+        # raw PCM16 shipped host->device (half the transfer bytes);
+        # converting here matches the host's int16 -> float32 /32768 exactly
+        wavs = wavs.astype(jnp.float32) / 32768.0
     B, N = wavs.shape
     T = int(num_frames(N, cfg))
     # clamp: wavs shorter than one frame yield 0 valid frames, not negative

@@ -25,12 +25,17 @@ except Exception:                                     # pragma: no cover
     _sf = None
 
 
-def read_wav(path: str, expected_rate: Optional[int] = 16000
-             ) -> Tuple[np.ndarray, int]:
-    """float32 mono samples in [-1, 1] + sample rate.  Warns (does not
-    resample) on rate mismatch, like the reference (data.py:119-120)."""
+def read_wav(path: str, expected_rate: Optional[int] = 16000,
+             dtype: str = "float32") -> Tuple[np.ndarray, int]:
+    """Mono samples + sample rate.  Warns (does not resample) on rate
+    mismatch, like the reference (data.py:119-120).
+
+    dtype="float32": samples in [-1, 1].  dtype="int16": raw PCM — ship
+    these to the device and let the jitted featurizer do the /32768
+    conversion (identical numerics, half the host->device bytes)."""
+    assert dtype in ("float32", "int16")
     if _sf is not None:
-        data, rate = _sf.read(path, dtype="float32", always_2d=False)
+        data, rate = _sf.read(path, dtype=dtype, always_2d=False)
     else:
         import wave
         with wave.open(path, "rb") as w:
@@ -39,7 +44,9 @@ def read_wav(path: str, expected_rate: Optional[int] = 16000
             width = w.getsampwidth()
             raw = w.readframes(n)
             if width == 2:
-                data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+                data = np.frombuffer(raw, np.int16)
+                if dtype == "float32":
+                    data = data.astype(np.float32) / 32768.0
             elif width == 4:
                 data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
             else:
@@ -48,9 +55,11 @@ def read_wav(path: str, expected_rate: Optional[int] = 16000
                 data = data.reshape(-1, w.getnchannels())
     if data.ndim > 1:
         data = data.mean(axis=1)
+        if dtype == "int16":
+            data = data.astype(np.int16)
     if expected_rate is not None and rate != expected_rate:
         warnings.warn(f"{path}: sample rate {rate} != expected {expected_rate}")
-    return np.ascontiguousarray(data, np.float32), rate
+    return np.ascontiguousarray(data, dtype), rate
 
 
 def write_wav(path: str, data: np.ndarray, rate: int = 16000) -> None:

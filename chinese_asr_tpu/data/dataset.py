@@ -76,19 +76,25 @@ class AudioDataset:
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, Optional[List[int]]]:
         u = self.utts[i]
-        wav, _ = audio_io.read_wav(u.path, self.cfg.audio.sample_rate)
-        ids = None
         if self.mode == "train":
+            wav, _ = audio_io.read_wav(u.path, self.cfg.audio.sample_rate)
             wav = aug_mod.augment(wav, self.cfg.augment, self.rng,
                                   self.cfg.audio.sample_rate)
             if self.cfg.audio.dither > 0:
                 # train-only Gaussian dither (reference data.py:199-200)
                 wav = wav + (self.cfg.audio.dither *
                              self.rng.randn(len(wav))).astype(np.float32)
+            wav = wav.astype(np.float32)
+        else:
+            # eval/infer: raw PCM16 to the device, /32768 happens inside
+            # the jitted featurizer (half the host->device bytes)
+            wav, _ = audio_io.read_wav(u.path, self.cfg.audio.sample_rate,
+                                       dtype="int16")
+        ids = None
         if self.mode != "infer":
             # text -> ids with <unk> fallback (data.py:444-459)
             ids = self.vocab.encode(u.text or "")
-        return wav.astype(np.float32), ids
+        return wav, ids
 
     def sample_lengths(self) -> np.ndarray:
         """Utterance lengths in samples (cached in the manifest when
@@ -163,7 +169,7 @@ class Loader:
             items = [self.ds[int(i)] for i in idx]
             wavs = [w for w, _ in items]
             N = round_up(max(len(w) for w in wavs), self.wav_bucket)
-            wav_mat = np.zeros((len(wavs), N), np.float32)
+            wav_mat = np.zeros((len(wavs), N), wavs[0].dtype)
             wav_lens = np.zeros(len(wavs), np.int32)
             for j, w in enumerate(wavs):
                 wav_mat[j, : len(w)] = w

@@ -104,8 +104,12 @@ def test_dataset_modes(corpus):
     utts = dataset.read_manifest(mpath)
     ds = dataset.AudioDataset(utts, SMALL, vocab, "eval")
     wav, ids = ds[0]
-    assert wav.dtype == np.float32 and len(wav) == 3200
+    # eval ships raw PCM16 (device-side /32768 conversion)
+    assert wav.dtype == np.int16 and len(wav) == 3200
     assert ids == vocab.encode("abc")
+    ds_train = dataset.AudioDataset(utts, SMALL, vocab, "train")
+    wav_t, _ = ds_train[0]
+    assert wav_t.dtype == np.float32
     ds_inf = dataset.AudioDataset(utts, SMALL, vocab, "infer")
     _, ids_inf = ds_inf[0]
     assert ids_inf is None

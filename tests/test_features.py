@@ -108,3 +108,33 @@ def test_instance_norm_matches_torch():
     ref = ((tx - tx.mean(dim=0)) / (tx.std(dim=0) + 1e-6)).numpy()  # main.py:37
     got = np.asarray(feat.instance_norm(jnp.asarray(x), eps=1e-6))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_int16_device_conversion_matches_float_path():
+    """PCM16 shipped raw to the device must featurize identically to
+    host-converted float32 (the /32768 conversion moves inside the jit)."""
+    import jax.numpy as jnp
+    from chinese_asr_tpu.audio import features
+    from chinese_asr_tpu.config import AudioConfig
+    cfg = AudioConfig()
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(2, 16000) * 3000).astype(np.int16)
+    lens = jnp.asarray(np.array([16000, 12000], np.int64))
+    f_i16, l_i16 = features.featurize_batch(jnp.asarray(pcm), lens, cfg)
+    f_f32, l_f32 = features.featurize_batch(
+        jnp.asarray(pcm.astype(np.float32) / 32768.0), lens, cfg)
+    np.testing.assert_array_equal(np.asarray(l_i16), np.asarray(l_f32))
+    np.testing.assert_allclose(np.asarray(f_i16), np.asarray(f_f32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_read_wav_int16(tmp_path):
+    from chinese_asr_tpu.data import audio_io
+    x = (np.random.RandomState(0).randn(4000) * 3000).astype(np.int16)
+    p = str(tmp_path / "i.wav")
+    audio_io.write_wav(p, x.astype(np.float32) / 32768.0)
+    raw, rate = audio_io.read_wav(p, 16000, dtype="int16")
+    assert raw.dtype == np.int16 and rate == 16000
+    f32, _ = audio_io.read_wav(p, 16000)
+    np.testing.assert_allclose(raw.astype(np.float32) / 32768.0, f32,
+                               atol=2.0 / 32768)
