@@ -117,7 +117,7 @@ def test_second_pass_rescoring_selects_lm_favorite():
     assert base.n == resc.n
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_beam_fuzz_random_configs(seed):
     """Property fuzz: random (B, bw, T, vocab) against the independent
     numpy implementation."""
