@@ -101,12 +101,28 @@ class ASR:
         return magic == b"PK"
 
     # ---- featurization ------------------------------------------------------
+    @staticmethod
+    def _as_wav(w) -> np.ndarray:
+        """Integer PCM stays int16 (the jitted featurizer does the /32768
+        on-device, matching data/dataset.py eval loading); floats pass
+        through as float32."""
+        w = np.asarray(w)
+        if np.issubdtype(w.dtype, np.integer):
+            return w.astype(np.int16)
+        return w.astype(np.float32)
+
     def _featurize(self, wavs: List[np.ndarray]):
         from .data.dataset import round_up
+        wavs = [self._as_wav(w) for w in wavs]
         N = round_up(max(1, max(len(w) for w in wavs)), self.wav_bucket)
-        mat = np.zeros((len(wavs), N), np.float32)
+        # a uniform int16 batch ships as raw PCM; any float wav forces the
+        # whole batch to float32 (int16 members are scaled on host)
+        all_i16 = all(w.dtype == np.int16 for w in wavs)
+        mat = np.zeros((len(wavs), N), np.int16 if all_i16 else np.float32)
         lens = np.zeros(len(wavs), np.int32)
         for i, w in enumerate(wavs):
+            if not all_i16 and w.dtype == np.int16:
+                w = w.astype(np.float32) / 32768.0
             mat[i, : len(w)] = w
             lens[i] = len(w)
         fn = self._feat_fns.get(N)
@@ -134,8 +150,7 @@ class ASR:
                 out.extend(self.transcribe_wavs(wavs[s:s + max_batch],
                                                 max_batch))
             return out
-        feats, feat_lens = self._featurize([np.asarray(w, np.float32)
-                                            for w in wavs])
+        feats, feat_lens = self._featurize([self._as_wav(w) for w in wavs])
         if not self.bw or self.bw <= 1:
             res = greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                feats, feat_lens)
@@ -174,19 +189,33 @@ class ASR:
         return self.transcribe_files([path])[0]
 
     def transcribe_long(self, path: str, chunk_s: float = 10.0,
-                        overlap_s: float = 0.5) -> str:
+                        search_s: float = 0.5) -> str:
         """Long-form audio beyond the reference's 10-second guidance
-        (its comment at main.py:34): split into ``chunk_s`` windows with
-        ``overlap_s`` lookahead, decode the batch in one device call, and
-        concatenate the per-chunk transcripts."""
+        (its comment at main.py:34): split into DISJOINT ~``chunk_s``
+        windows — each cut placed at the lowest-energy sample within
+        +-``search_s`` of the nominal boundary so chunks break at silence
+        rather than mid-character — decode the batch in one device call,
+        and concatenate the per-chunk transcripts.  Disjoint cuts mean no
+        audio is transcribed twice (no duplicated boundary characters)."""
         wav, _ = audio_io.read_wav(path, self.cfg.audio.sample_rate)
         wav = audio_io.peak_normalize(wav)
         sr = self.cfg.audio.sample_rate
         step = int(chunk_s * sr)
-        win = step + int(overlap_s * sr)
-        if len(wav) <= win:
+        search = max(1, int(search_s * sr))
+        if len(wav) <= step + search:
             return self.transcribe_wavs([wav])[0]
-        chunks = [wav[s:s + win] for s in range(0, len(wav), step)]
+        smooth = max(1, int(0.025 * sr))           # 25 ms energy window
+        cuts = [0]
+        while cuts[-1] + step < len(wav) - search:
+            c = cuts[-1] + step
+            lo = max(cuts[-1] + search, c - search)
+            hi = min(len(wav) - 1, c + search)
+            energy = np.convolve(
+                np.square(wav[lo:hi], dtype=np.float64),
+                np.ones(smooth) / smooth, mode="same")
+            cuts.append(lo + int(np.argmin(energy)))
+        cuts.append(len(wav))
+        chunks = [wav[a:b] for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
         return "".join(self.transcribe_wavs(chunks))
 
 

@@ -15,6 +15,7 @@ one jitted program; prefix rescoring is one batched C++ LM call per step
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple
 
 import jax
@@ -33,6 +34,7 @@ class _StepOut(NamedTuple):
     cell_state: list
 
 
+@functools.lru_cache(maxsize=32)
 def _make_step(cfg: Config, topn: int):
     dcfg, acfg = cfg.decoder, cfg.attention
 
@@ -129,7 +131,10 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         if l == 0:
             scores = scores[:, :V]                       # beams identical
 
-        cand_idx = np.argsort(-scores, axis=1)[:, :cand]
+        # step 0 truncates to V columns, so fewer than 2k candidates may
+        # exist when 2k > V (e.g. bw=16 with a tiny test vocab)
+        ncand = min(cand, scores.shape[1])
+        cand_idx = np.argsort(-scores, axis=1)[:, :ncand]
         cand_scores = np.take_along_axis(scores, cand_idx, axis=1)
         cand_beams = cand_idx // V
         cand_toks = cand_idx % V
@@ -138,7 +143,7 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         sel_rows, sel_toks = [], []
         for b in range(B):
             live = 0
-            for j in range(cand):
+            for j in range(ncand):
                 t = int(cand_toks[b, j])
                 src = b * k + int(cand_beams[b, j])
                 if t == eos:
@@ -150,6 +155,12 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
                     sel_rows.append(src)
                     sel_toks.append(t)
                     live += 1
+            while live < k:
+                # fewer than k non-eos candidates (tiny vocab / all-eos):
+                # pad with duplicates so the beam arrays keep shape B*k
+                sel_rows.append(sel_rows[-1] if live else b * k)
+                sel_toks.append(sel_toks[-1] if live else cfg.vocab.unk)
+                live += 1
         if all(len(f) > 0 for f in finished):
             break
 

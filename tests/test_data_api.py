@@ -243,6 +243,21 @@ def test_transcribe_batch_chunking(corpus):
     assert chunked == single
 
 
+def test_transcribe_wavs_int16_matches_float(tmp_path):
+    """int16 PCM input must transcribe identically to its float32/32768
+    equivalent (ADVICE r1: blind float32 coercion skipped the /32768)."""
+    from chinese_asr_tpu.api import ASR
+    rng = np.random.RandomState(3)
+    f32 = (0.3 * rng.randn(9000)).astype(np.float32).clip(-1, 1)
+    i16 = (f32 * 32768).clip(-32768, 32767).astype(np.int16)
+    f32_of_i16 = i16.astype(np.float32) / 32768.0
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    assert asr.transcribe_wavs([i16]) == asr.transcribe_wavs([f32_of_i16])
+    # mixed batch: the int16 member is host-scaled, same transcript
+    assert (asr.transcribe_wavs([i16, f32])[0]
+            == asr.transcribe_wavs([f32_of_i16, f32])[0])
+
+
 def test_transcribe_long(tmp_path):
     from chinese_asr_tpu.api import ASR
     rng = np.random.RandomState(0)
@@ -250,8 +265,38 @@ def test_transcribe_long(tmp_path):
     p = str(tmp_path / "long.wav")
     audio_io.write_wav(p, wav)
     asr = ASR(cfg=SMALL, wav_bucket=4800)
-    out = asr.transcribe_long(p, chunk_s=1.0, overlap_s=0.25)
+    out = asr.transcribe_long(p, chunk_s=1.0, search_s=0.25)
     assert isinstance(out, str) and len(out) > 0
+
+
+def test_transcribe_long_no_duplication(tmp_path):
+    """Disjoint silence-seeking cuts: decoding 2 chunks must cover each
+    audio sample exactly once (a tone+silence pattern makes the low-energy
+    cut points land in the silent gaps)."""
+    from chinese_asr_tpu.api import ASR
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    gap = np.zeros(sr // 2, np.float32)
+    wav = np.concatenate([tone, gap, tone, gap, tone])
+    p = str(tmp_path / "tones.wav")
+    audio_io.write_wav(p, wav)
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    calls = []
+    orig = asr.transcribe_wavs
+
+    def spy(wavs, *a, **k):
+        calls.append([np.asarray(w) for w in wavs])
+        return orig(wavs, *a, **k)
+
+    asr.transcribe_wavs = spy
+    asr.transcribe_long(p, chunk_s=1.2, search_s=0.3)
+    chunks = calls[0]
+    total = sum(len(c) for c in chunks)
+    assert total == len(wav)                       # nothing dropped/repeated
+    readback, _ = audio_io.read_wav(p, sr)         # int16-quantized on disk
+    np.testing.assert_allclose(np.concatenate(chunks),
+                               audio_io.peak_normalize(readback))
 
 
 def test_prefetch_order_and_errors():
