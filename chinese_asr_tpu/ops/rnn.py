@@ -347,6 +347,48 @@ def rnn_stack(mode: str, layers: List[Params], x, lens, mask,
 
 
 # --------------------------------------------------------------------------
+# LocalRNN (reference util.py:1026-1146; its self-test util.py:2504-2520)
+# --------------------------------------------------------------------------
+def local_rnn(mode: str, layers: List[Params], x, lens, mask,
+              residual: bool = False, skip_steps=None):
+    """Per-layer-configurable stack.  Differences from ``rnn_stack``
+    (reference RNN_RES):
+
+    * ``skip_steps`` is per-layer and applies AFTER every layer including
+      the last (util.py:1119-1141), keeping the first frame of each group
+      (``x[::step]``) with ceil-div length update
+      ``(lens + step - 1) // step``.
+    * residual defaults off (LocalRNN signature res=False, util.py:1027).
+
+    Returns (y, per_layer_states, lens, mask); states entry i is
+    ``(state_fwd, state_bwd)`` for bidirectional layers else
+    ``(state,)`` — the reference concatenates these over layers*dirs
+    (util.py:1143-1148).
+    """
+    if skip_steps is None:
+        skip_steps = [1] * len(layers)
+    skip_steps = ([skip_steps] * len(layers) if isinstance(skip_steps, int)
+                  else list(skip_steps))
+    assert len(skip_steps) == len(layers)
+    all_states = []
+    for i, layer in enumerate(layers):
+        if "bwd" in layer:
+            y, s_f, s_b = bidir_rnn_layer(mode, layer["fwd"], layer["bwd"],
+                                          x, lens, mask)
+            all_states.append((s_f, s_b))
+        else:
+            y, s = rnn_layer(mode, layer["fwd"], x, mask)
+            all_states.append((s,))
+        x = x + y if (residual and i > 0) else y
+        step = skip_steps[i]
+        if step > 1:
+            x = x[:, ::step]
+            lens = (lens + step - 1) // step
+            mask = mask[:, ::step]
+    return x, all_states, lens, mask
+
+
+# --------------------------------------------------------------------------
 # decoder cell stack (reference RNNCellBase util.py:1624-1661)
 # --------------------------------------------------------------------------
 def init_cell_stack(key, mode: str, input_size: int, hidden_size: int,

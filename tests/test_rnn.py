@@ -164,3 +164,108 @@ def test_residual_stack_matches_torch_stack():
     # last-layer final states match the packed torch run of the last layer
     np.testing.assert_allclose(np.asarray(states[0][0]), h_ref[0], atol=2e-5)
     np.testing.assert_allclose(np.asarray(states[1][0]), h_ref[1], atol=2e-5)
+
+
+def _gru_layers_from_torch(torch_layers):
+    layers = []
+    for tl in torch_layers:
+        sd = tl.state_dict()
+
+        def g(name):
+            return jnp.asarray(sd[name].numpy())
+        layer = {"fwd": {"w_ih": g("weight_ih_l0").T, "w_hh": g("weight_hh_l0").T,
+                         "b_ih": g("bias_ih_l0"), "b_hh": g("bias_hh_l0")}}
+        if "weight_ih_l0_reverse" in sd:
+            layer["bwd"] = {"w_ih": g("weight_ih_l0_reverse").T,
+                            "w_hh": g("weight_hh_l0_reverse").T,
+                            "b_ih": g("bias_ih_l0_reverse"),
+                            "b_hh": g("bias_hh_l0_reverse")}
+        layers.append(layer)
+    return layers
+
+
+def test_local_rnn_matches_torch_gru_stack():
+    """Mirror of the reference's own LocalRNN check (util.py:2504-2520):
+    5-layer bidirectional GRU with skip_step=[1,1,1,1,2] must equal
+    nn.GRU(7, 11, 5, bidirectional=True) output subsampled y[::2], and the
+    per-layer final states must match nn.GRU's state stack."""
+    torch.manual_seed(7)
+    L_SEQ, B, D, H = 13, 4, 7, 11
+    x = torch.randn(L_SEQ, B, D)
+
+    m2 = nn.GRU(input_size=D, hidden_size=H, num_layers=5, bidirectional=True)
+    y2, state2 = m2(x)                       # [l, b, 2H], [10, b, H]
+    y_ref = y2[::2].detach().numpy()
+
+    # split nn.GRU's stacked weights into 5 single-layer param dicts
+    sd = m2.state_dict()
+    layers = []
+    for i in range(5):
+        def g(name):
+            return jnp.asarray(sd[name].numpy())
+        layers.append({
+            "fwd": {"w_ih": g(f"weight_ih_l{i}").T, "w_hh": g(f"weight_hh_l{i}").T,
+                    "b_ih": g(f"bias_ih_l{i}"), "b_hh": g(f"bias_hh_l{i}")},
+            "bwd": {"w_ih": g(f"weight_ih_l{i}_reverse").T,
+                    "w_hh": g(f"weight_hh_l{i}_reverse").T,
+                    "b_ih": g(f"bias_ih_l{i}_reverse"),
+                    "b_hh": g(f"bias_hh_l{i}_reverse")},
+        })
+
+    xb = jnp.asarray(x.numpy().transpose(1, 0, 2))      # [B, T, D]
+    lens = jnp.full((B,), L_SEQ, jnp.int32)
+    mask = length_mask(lens, L_SEQ)
+    y, states, out_lens, _ = jrnn.local_rnn(
+        "GRU", layers, xb, lens, mask, residual=False,
+        skip_steps=[1, 1, 1, 1, 2])
+
+    np.testing.assert_allclose(np.asarray(y).transpose(1, 0, 2), y_ref,
+                               atol=2e-5)
+    assert np.all(np.asarray(out_lens) == (L_SEQ + 1) // 2)
+    # states: layer i fwd/bwd vs nn.GRU state rows 2i / 2i+1
+    s2 = state2.detach().numpy()
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(states[i][0]), s2[2 * i],
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(states[i][1]), s2[2 * i + 1],
+                                   atol=2e-5)
+
+
+def test_local_rnn_masked_variable_lengths():
+    """Variable-length batch vs per-sample torch GRU runs (packed-sequence
+    semantics): outputs equal up to each length, skip applied per layer
+    with ceil-div lengths, residual add from layer 2 on (res=True)."""
+    torch.manual_seed(8)
+    np.random.seed(8)
+    B, T, D, H = 3, 9, 5, 6
+    lens = np.array([9, 7, 4], np.int32)
+    skip = [1, 2, 1]
+    torch_layers = [nn.GRU(D if i == 0 else H, H) for i in range(3)]
+
+    x = np.zeros((B, T, D), np.float32)
+    xs = [np.random.randn(l, D).astype(np.float32) for l in lens]
+    for b, xi in enumerate(xs):
+        x[b, :len(xi)] = xi
+
+    # torch reference: per-sample, layer by layer with skip + residual
+    ref, ref_lens = [], []
+    for b in range(B):
+        cur = torch.tensor(xs[b]).unsqueeze(1)          # [l, 1, d]
+        for i, tl in enumerate(torch_layers):
+            y, _ = tl(cur)
+            cur = cur + y if i > 0 else y
+            if skip[i] > 1:
+                cur = cur[::skip[i]]
+        ref.append(cur[:, 0].detach().numpy())
+        ref_lens.append(cur.shape[0])
+
+    layers = _gru_layers_from_torch(torch_layers)
+    mask = length_mask(jnp.asarray(lens), T)
+    y, _, out_lens, _ = jrnn.local_rnn("GRU", layers, jnp.asarray(x),
+                                       jnp.asarray(lens), mask,
+                                       residual=True, skip_steps=skip)
+    out_lens = np.asarray(out_lens)
+    assert out_lens.tolist() == ref_lens
+    y = np.asarray(y)
+    for b in range(B):
+        np.testing.assert_allclose(y[b, :out_lens[b]], ref[b], atol=2e-5)
