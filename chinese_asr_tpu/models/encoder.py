@@ -74,12 +74,18 @@ def init_encoder(key, cfg: Config, dtype=jnp.float32) -> Params:
     return encoders_extra.init_encoder(key, cfg, dtype)
 
 
-def apply_encoder(p: Params, cfg: Config, x, lens) -> EncoderOut:
+def apply_encoder(p: Params, cfg: Config, x, lens, train: bool = False,
+                  bn_updates=None) -> EncoderOut:
+    """``train``/``bn_updates`` only matter for the BatchNorm-based conv
+    families: train=True normalizes with batch statistics and records
+    running-stat updates into the ``bn_updates`` list (see
+    ops/conv.apply_norm); the RNN families have no normalization."""
     et = cfg.encoder.encoder_type
     if et in ("LSTM", "GRU", "RNN_TANH", "RNN_RELU"):
         return rnn_encoder(p, cfg.encoder, x, lens)
     from . import encoders_extra
-    return encoders_extra.apply_encoder(p, cfg, x, lens)
+    return encoders_extra.apply_encoder(p, cfg, x, lens, train=train,
+                                        updates=bn_updates)
 
 
 def encoder_output_size(cfg: Config) -> int:

@@ -92,7 +92,7 @@ def init_cnn1d(key, cfg: Config, input_size: int, plan=None, norm=None,
 
 
 def apply_cnn1d(p: Params, cfg: Config, x, lens, plan=None, norm=None,
-                act=None, skip=None, train=False):
+                act=None, skip=None, train=False, updates=None):
     ecfg = cfg.encoder
     plan = plan or _conv_plan(ecfg)
     norm = norm if norm is not None else ecfg.norm
@@ -101,7 +101,7 @@ def apply_cnn1d(p: Params, cfg: Config, x, lens, plan=None, norm=None,
     for i, (oc, ks, st) in enumerate(plan):
         x, lens = conv_ops.conv1d_block(
             p["convs"][i], x, lens, ks, st, act, norm,
-            skip_connect=(skip and i > 0), train=train)
+            skip_connect=(skip and i > 0), train=train, updates=updates)
     return x, lens
 
 
@@ -131,13 +131,14 @@ def init_cnn2d(key, cfg: Config, dtype=jnp.float32) -> Params:
     return {"convs": layers}
 
 
-def apply_cnn2d(p: Params, cfg: Config, x, lens, train=False):
+def apply_cnn2d(p: Params, cfg: Config, x, lens, train=False, updates=None):
     ecfg = cfg.encoder
     x = _to_2d(cfg, x)
     for i, (oc, ks, st) in enumerate(_conv_plan(ecfg)):
         x, lens = conv_ops.conv2d_block(
             p["convs"][i], x, lens, ks, st, ecfg.act, ecfg.norm,
-            skip_connect=(ecfg.residual and i > 0), train=train)
+            skip_connect=(ecfg.residual and i > 0), train=train,
+            updates=updates)
     return _flatten_2d(x), lens
 
 
@@ -198,10 +199,12 @@ def init_cnn1d_rnn(key, cfg: Config, dtype=jnp.float32) -> Params:
     }
 
 
-def apply_cnn1d_rnn(p: Params, cfg: Config, x, lens, train=False):
+def apply_cnn1d_rnn(p: Params, cfg: Config, x, lens, train=False,
+                    updates=None):
     ecfg = cfg.encoder
     x, lens = apply_cnn1d(p["front"], cfg, x, lens, plan=_FRONT_PLAN,
-                          norm="BN", act="RELU", skip=False, train=train)
+                          norm="BN", act="RELU", skip=False, train=train,
+                          updates=updates)
     mask = length_mask(lens, x.shape[1], x.dtype)
     y, states, lens, _ = rnn_ops.rnn_stack("GRU", p["rnn"], x, lens, mask,
                                            residual=ecfg.residual)
@@ -225,9 +228,11 @@ def init_cnn1d_sa(key, cfg: Config, dtype=jnp.float32) -> Params:
     }
 
 
-def apply_cnn1d_sa(p: Params, cfg: Config, x, lens, train=False):
+def apply_cnn1d_sa(p: Params, cfg: Config, x, lens, train=False,
+                   updates=None):
     x, lens = apply_cnn1d(p["front"], cfg, x, lens, plan=_FRONT_PLAN,
-                          norm="BN", act="RELU", skip=False, train=train)
+                          norm="BN", act="RELU", skip=False, train=train,
+                          updates=updates)
     return apply_sa(p["sa"], cfg, x, lens, heads=4, pos=True)
 
 
@@ -246,12 +251,13 @@ def init_crnn(key, cfg: Config, dtype=jnp.float32) -> Params:
     }
 
 
-def apply_crnn(p: Params, cfg: Config, x, lens, train=False):
+def apply_crnn(p: Params, cfg: Config, x, lens, train=False, updates=None):
     x = _to_2d(cfg, x)
     for hp in p["heads"]:
         # time stride 2, freq stride 1, freq pad 1 (encoder.py:300-301, 325)
         x, lens = conv_ops.conv2d_block(hp, x, lens, 3, (2, 1), "NONE", "BN",
-                                        train=train, freq_pad=1)
+                                        train=train, freq_pad=1,
+                                        updates=updates)
     for cp in p["conv_lstm"]:
         x, _ = cl_ops.conv_lstm(cp, x, lens)
     return _flatten_2d(x), lens
@@ -282,15 +288,17 @@ def init_res_cnn(key, in_c: int, out_c: int, dtype=jnp.float32) -> Params:
     return p
 
 
-def res_cnn(p: Params, x, lens, train=False):
+def res_cnn(p: Params, x, lens, train=False, updates=None):
     """conv -> BN -> relu -> conv -> BN -> +skip -> relu, width-masked
     (reference ResCNN, encoder.py:411-478)."""
     m = length_mask(lens, x.shape[1], x.dtype)[:, :, None, None]
     y = conv_ops.same_conv2d(p["conv1"], x) * m
-    y = conv_ops.apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2),
+                            updates=updates)
     y = jax.nn.relu(y) * m
     y = conv_ops.same_conv2d(p["conv2"], y) * m
-    y = conv_ops.apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2),
+                            updates=updates)
     if "down" in p:
         x = conv_ops.same_conv2d(p["down"], x)
     return jax.nn.relu(x + y) * m, lens
@@ -310,16 +318,18 @@ def init_res_conv_lstm(key, in_c: int, out_c: int, ks: int = 3,
     return p
 
 
-def res_conv_lstm(p: Params, x, lens, train=False):
+def res_conv_lstm(p: Params, x, lens, train=False, updates=None):
     """BConvLSTM -> BN -> relu -> BConvLSTM -> BN -> +skip -> relu
     (reference ResConvLSTM, encoder.py:481-541; its BConvLSTM output
     [b, 2, c', h, w] is our channel-concat [B, T, F, 2c'])."""
     m = length_mask(lens, x.shape[1], x.dtype)[:, :, None, None]
     y, _ = cl_ops.bconv_lstm(p["cl1"], x, lens)
-    y = conv_ops.apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn1"], y, "BN", train, spatial_axes=(1, 2),
+                            updates=updates)
     y = jax.nn.relu(y) * m
     y, _ = cl_ops.bconv_lstm(p["cl2"], y, lens)
-    y = conv_ops.apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2))
+    y = conv_ops.apply_norm(p["bn2"], y, "BN", train, spatial_axes=(1, 2),
+                            updates=updates)
     if "down" in p:
         x = conv_ops.same_conv2d(p["down"], x)
     return jax.nn.relu(x + y) * m, lens
@@ -339,14 +349,14 @@ def init_nin(key, in_c: int, out_c: int, ks: int = 3,
     }
 
 
-def nin(p: Params, x, lens, train=False):
+def nin(p: Params, x, lens, train=False, updates=None):
     """L -> C(1x1) -> BN -> relu -> L -> C(1x1) -> BN -> relu -> L."""
     x, _ = cl_ops.bconv_lstm(p["cl1"], x, lens)
     x, lens = conv_ops.conv2d_block(p["conv1"], x, lens, 1, 1, "RELU", "BN",
-                                    train=train)
+                                    train=train, updates=updates)
     x, _ = cl_ops.bconv_lstm(p["cl2"], x, lens)
     x, lens = conv_ops.conv2d_block(p["conv2"], x, lens, 1, 1, "RELU", "BN",
-                                    train=train)
+                                    train=train, updates=updates)
     x, _ = cl_ops.bconv_lstm(p["cl3"], x, lens)
     return x, lens
 
@@ -365,16 +375,17 @@ def init_dcnn(key, cfg: Config, dtype=jnp.float32) -> Params:
     }
 
 
-def apply_dcnn(p: Params, cfg: Config, x, lens, train=False):
+def apply_dcnn(p: Params, cfg: Config, x, lens, train=False, updates=None):
     """Very-deep CNN encoder (encoder.py:374-408; the upstream forward
     returns None — fixed to flatten + return)."""
     x = _to_2d(cfg, x)
     for hp in p["heads"]:
         x, lens = conv_ops.conv2d_block(hp, x, lens, 3, (2, 1), "NONE", "BN",
-                                        train=train, freq_pad=1)
+                                        train=train, freq_pad=1,
+                                        updates=updates)
     for mp in p["middle"]:
-        x, lens = res_conv_lstm(mp, x, lens, train)
-    x, lens = nin(p["nin"], x, lens, train)
+        x, lens = res_conv_lstm(mp, x, lens, train, updates)
+    x, lens = nin(p["nin"], x, lens, train, updates)
     return _flatten_2d(x), lens
 
 
@@ -408,19 +419,20 @@ def init_encoder(key, cfg: Config, dtype=jnp.float32) -> Params:
     raise ValueError(f"unknown encoder_type {et}")
 
 
-def apply_encoder(p: Params, cfg: Config, x, lens, train=False) -> EncoderOut:
+def apply_encoder(p: Params, cfg: Config, x, lens, train=False,
+                  updates=None) -> EncoderOut:
     et = cfg.encoder.encoder_type
     if et == "CNN1D":
-        y, lens = apply_cnn1d(p, cfg, x, lens, train=train)
+        y, lens = apply_cnn1d(p, cfg, x, lens, train=train, updates=updates)
         return EncoderOut(y, lens, None)
     if et == "CNN2D":
-        y, lens = apply_cnn2d(p, cfg, x, lens, train)
+        y, lens = apply_cnn2d(p, cfg, x, lens, train, updates)
         return EncoderOut(y, lens, None)
     if et == "CNN1D_RNN":
-        y, lens, state = apply_cnn1d_rnn(p, cfg, x, lens, train)
+        y, lens, state = apply_cnn1d_rnn(p, cfg, x, lens, train, updates)
         return EncoderOut(y, lens, state)
     if et == "CNN1D_SELF_ATTENTION":
-        y, lens = apply_cnn1d_sa(p, cfg, x, lens, train)
+        y, lens = apply_cnn1d_sa(p, cfg, x, lens, train, updates)
         return EncoderOut(y, lens, None)
     if et == "SELF_ATTENTION":
         y, lens = apply_sa(p, cfg, x, lens)
@@ -429,10 +441,10 @@ def apply_encoder(p: Params, cfg: Config, x, lens, train=False) -> EncoderOut:
         y, lens = apply_sa(p, cfg, x, lens, ws=cfg.encoder.ws)
         return EncoderOut(y, lens, None)
     if et == "CRNN":
-        y, lens = apply_crnn(p, cfg, x, lens, train)
+        y, lens = apply_crnn(p, cfg, x, lens, train, updates)
         return EncoderOut(y, lens, None)
     if et == "DCNN":
-        y, lens = apply_dcnn(p, cfg, x, lens, train)
+        y, lens = apply_dcnn(p, cfg, x, lens, train, updates)
         return EncoderOut(y, lens, None)
     raise ValueError(f"unknown encoder_type {et}")
 

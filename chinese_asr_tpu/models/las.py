@@ -42,10 +42,16 @@ class EncodedBatch(NamedTuple):
     init_cell_state: Optional[list]
 
 
-def encode(params: Params, cfg: Config, feats, feat_lens) -> EncodedBatch:
+def encode(params: Params, cfg: Config, feats, feat_lens,
+           train: bool = False, bn_updates=None) -> EncodedBatch:
     """Shared decode prologue (reference model.py:523-534): encoder forward,
-    softmax mask, decoder initial state, attention key/value precompute."""
-    enc = enc_ops.apply_encoder(params["encoder"], cfg, feats, feat_lens)
+    softmax mask, decoder initial state, attention key/value precompute.
+
+    ``train=True`` switches BatchNorm encoders to batch statistics and
+    (with a ``bn_updates`` list) records running-stat updates for the
+    train step to fold back into the params (torch BN semantics)."""
+    enc = enc_ops.apply_encoder(params["encoder"], cfg, feats, feat_lens,
+                                train=train, bn_updates=bn_updates)
     mask = softmax_mask(enc.out_lens, enc.out.shape[1], enc.out.dtype)
     cell_state = dec_ops.get_initial_state(params["decoder"], cfg.decoder,
                                            feats.shape[0], enc.state)

@@ -55,10 +55,17 @@ def norm_params(out_c: int, norm: str, dtype) -> Params:
 
 
 def apply_norm(p: Params, y, norm: str, train: bool, eps: float = 1e-5,
-                spatial_axes: Tuple[int, ...] = (1,)):
+                spatial_axes: Tuple[int, ...] = (1,), updates=None):
     """y [..., C]; BN normalizes per channel over batch+spatial (padding
     included, matching the reference), LN over channels, IN per-sample over
-    spatial."""
+    spatial.
+
+    BN follows torch semantics: train=True normalizes with the biased batch
+    statistics AND (when ``updates`` — a list — is passed) records
+    ``(param_dict, batch_mean, batch_var, n)`` so the train step can fold
+    the running-stat moving average into the params (torch updates
+    running_var with the UNBIASED batch variance); train=False uses the
+    stored running stats."""
     if norm == "NONE":
         return y
     if norm == "BN":
@@ -66,6 +73,11 @@ def apply_norm(p: Params, y, norm: str, train: bool, eps: float = 1e-5,
             axes = (0,) + spatial_axes
             mean = y.mean(axes)
             var = y.var(axes)
+            if updates is not None:
+                n = 1
+                for a in axes:
+                    n *= y.shape[a]
+                updates.append((p, mean, var, n))
         else:
             mean, var = p["bn_mean"], p["bn_var"]
         yn = (y - mean) * jax.lax.rsqrt(var + eps)
@@ -110,7 +122,7 @@ def init_conv1d(key, in_c: int, out_c: int, ks: int, norm: str = "NONE",
 
 def conv1d_block(p: Params, x, lens, ks: int, stride: int, act: str = "NONE",
                  norm: str = "NONE", skip_connect: bool = False,
-                 train: bool = False):
+                 train: bool = False, updates=None):
     """x [B, T, C] (padding zeroed), lens [B] -> (y [B, T', C'], out_lens).
 
     Order matches the reference (util.py:1389-1434): pad -> conv -> norm ->
@@ -123,7 +135,7 @@ def conv1d_block(p: Params, x, lens, ks: int, stride: int, act: str = "NONE",
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC")) + p["b"]
-    y = apply_norm(p, y, norm, train)
+    y = apply_norm(p, y, norm, train, updates=updates)
     y = _apply_act(y, act)
     if skip_connect:
         ident = x[:, ks - 1::stride, :]
@@ -148,7 +160,8 @@ def init_conv2d(key, in_c: int, out_c: int, ks, norm: str = "NONE",
 
 def conv2d_block(p: Params, x, lens, ks, stride, act: str = "NONE",
                  norm: str = "NONE", skip_connect: bool = False,
-                 train: bool = False, freq_pad: Optional[int] = None):
+                 train: bool = False, freq_pad: Optional[int] = None,
+                 updates=None):
     """x [B, T, F, C], lens over T -> (y [B, T', F', C'], out_lens).
 
     ``freq_pad`` adds symmetric-ish freq padding first (the reference's
@@ -166,7 +179,7 @@ def conv2d_block(p: Params, x, lens, ks, stride, act: str = "NONE",
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(st, sf), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
-    y = apply_norm(p, y, norm, train, spatial_axes=(1, 2))
+    y = apply_norm(p, y, norm, train, spatial_axes=(1, 2), updates=updates)
     y = _apply_act(y, act)
     if skip_connect:
         ident = x[:, kt - 1::st, kf - 1::sf, :]
@@ -174,6 +187,63 @@ def conv2d_block(p: Params, x, lens, ks, stride, act: str = "NONE",
     out_lens = conv_out_len(lens, kt, st)
     y = y * length_mask(out_lens, y.shape[1], y.dtype)[:, :, None, None]
     return y, out_lens
+
+
+def bn_stats_tree(params, updates):
+    """Convert ``apply_norm`` recordings into a pytree mirroring ``params``'
+    structure (so it survives jit/grad boundaries, where dict identities
+    don't).  MUST be called inside the same trace that produced ``updates``
+    — entries reference ``params``' sub-dicts by object identity.  Matched
+    nodes carry ``{"__bn__": (batch_mean, unbiased_batch_var)}``; everything
+    else is None.  Returns None when nothing was recorded."""
+    if not updates:
+        return None
+    table = {id(p): (m, v * (n / max(n - 1, 1))) for p, m, v, n in updates}
+
+    def rec(node):
+        if isinstance(node, dict):
+            out = {k: rec(v) for k, v in node.items()}
+            if id(node) in table:
+                out["__bn__"] = table[id(node)]
+            if all(v is None for v in out.values()):
+                return None
+            return out
+        if isinstance(node, (list, tuple)):
+            seq = [rec(v) for v in node]
+            if all(v is None for v in seq):
+                return None
+            return seq
+        return None
+
+    return rec(params)
+
+
+def merge_bn_stats(new_params, stats_tree, momentum: float = 0.1):
+    """Fold a ``bn_stats_tree`` into running stats: torch moving-average
+    semantics ``running = (1 - momentum) * running + momentum * batch_stat``
+    (running_var uses the unbiased batch variance, already applied by
+    ``bn_stats_tree``)."""
+    if stats_tree is None:
+        return new_params
+
+    def rec(node, st):
+        if st is None:
+            return node
+        if isinstance(node, dict):
+            out = {k: rec(v, st.get(k)) for k, v in node.items()}
+            if "__bn__" in st:
+                m, v = st["__bn__"]
+                out["bn_mean"] = ((1 - momentum) * node["bn_mean"]
+                                  + momentum * m.astype(node["bn_mean"].dtype))
+                out["bn_var"] = ((1 - momentum) * node["bn_var"]
+                                 + momentum * v.astype(node["bn_var"].dtype))
+            return out
+        if isinstance(node, (list, tuple)):
+            seq = [rec(n, s) for n, s in zip(node, st)]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        return node
+
+    return rec(new_params, stats_tree)
 
 
 # --------------------------------------------------------------------------

@@ -106,12 +106,32 @@ def fine_tune_mask(params):
     return jax.tree_util.tree_map_with_path(trainable, params)
 
 
+def buffer_mask(params):
+    """True for gradient-trained parameters, False for buffers (BatchNorm
+    running stats) — torch never applies the optimizer or weight decay to
+    buffers; they move only via the train step's moving-average merge."""
+    import jax
+
+    def trainable(path, leaf):
+        name = ""
+        if path:
+            name = getattr(path[-1], "key", getattr(path[-1], "name", ""))
+        return name not in ("bn_mean", "bn_var")
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def _inverse_buffer_mask(params):
+    import jax
+    return jax.tree_util.tree_map(lambda t: not t, buffer_mask(params))
+
+
 def make_optimizer(tcfg: TrainConfig, params=None
                    ) -> optax.GradientTransformation:
     """Returns an ``inject_hyperparams`` wrapped optimizer so the plateau
     controller can mutate ``opt_state.hyperparams['learning_rate']``.
 
-    With ``tcfg.fine_tune`` and a params pytree, non-projection/attention
+    BatchNorm running-stat buffers are always frozen (``buffer_mask``);
+    with ``tcfg.fine_tune`` and a params pytree, non-projection/attention
     parameters are frozen via ``optax.masked``."""
     kind = tcfg.optimizer.upper()
     clip = tcfg.clip
@@ -144,6 +164,11 @@ def make_optimizer(tcfg: TrainConfig, params=None
             raise ValueError(f"unknown optimizer {kind}")
         if clip > 0:
             core = optax.chain(optax.clip_by_global_norm(clip), core)
+        # buffers get a zero update regardless of optimizer kind (the mask
+        # callable re-derives from whatever params tree reaches init/update)
+        core = optax.chain(optax.masked(core, buffer_mask),
+                           optax.masked(optax.set_to_zero(),
+                                        _inverse_buffer_mask))
         if tcfg.fine_tune and params is not None:
             import jax
             labels = jax.tree_util.tree_map(

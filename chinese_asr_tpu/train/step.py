@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models import decoder as dec_ops
 from ..models import las
+from ..ops import conv as conv_ops
 from .loss import label_smoothed_ce
 
 
@@ -41,7 +42,7 @@ class Batch(NamedTuple):
 
 def forward_logits(params, cfg: Config, batch: Batch,
                    rng: Optional[jax.Array] = None,
-                   ss: float = 0.0) -> jnp.ndarray:
+                   ss: float = 0.0, bn_updates=None) -> jnp.ndarray:
     """Teacher-forced logits [B, S, V] for the whole target matrix.
 
     ss > 0 enables scheduled sampling: with probability ss the input token
@@ -50,7 +51,8 @@ def forward_logits(params, cfg: Config, batch: Batch,
     """
     B, S = batch.tokens_in.shape
     dcfg, acfg = cfg.decoder, cfg.attention
-    eb = las.encode(params, cfg, batch.feats, batch.feat_lens)
+    eb = las.encode(params, cfg, batch.feats, batch.feat_lens,
+                    train=True, bn_updates=bn_updates)
     ctx = dec_ops.attn_hidden_width(acfg, eb.values.shape[-1])
 
     cell0 = eb.init_cell_state
@@ -87,14 +89,23 @@ def forward_logits(params, cfg: Config, batch: Batch,
 
 def loss_fn(params, cfg: Config, batch: Batch,
             rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, Dict]:
-    logits = forward_logits(params, cfg, batch, rng, cfg.train.ss)
+    # BN batch-stat recordings ride the aux dict out of value_and_grad so
+    # the step can fold them into the params (grads don't flow into them:
+    # running stats are a moving average, not a learned quantity)
+    bn_updates = []
+    logits = forward_logits(params, cfg, batch, rng, cfg.train.ss, bn_updates)
     S = batch.tokens_out.shape[1]
     mask = (jnp.arange(S)[None, :] < batch.text_lens[:, None])
     loss = label_smoothed_ce(logits, batch.tokens_out, mask,
                              cfg.train.label_smooth)
     acc = ((jnp.argmax(logits, -1) == batch.tokens_out) * mask).sum() / \
         jnp.maximum(mask.sum(), 1)
-    return loss, {"accuracy": acc, "num_tokens": mask.sum()}
+    # convert identity-keyed recordings to a structure-aligned tree HERE,
+    # inside the trace where `params`' dict identities are still valid
+    bn_tree = conv_ops.bn_stats_tree(params, bn_updates)
+    bn_tree = jax.tree_util.tree_map(jax.lax.stop_gradient, bn_tree)
+    return loss, {"accuracy": acc, "num_tokens": mask.sum(),
+                  "bn_stats": bn_tree}
 
 
 def train_step(params, opt_state, cfg: Config, tx, batch: Batch,
@@ -113,6 +124,10 @@ def train_step(params, opt_state, cfg: Config, tx, batch: Batch,
         lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
     updates, new_opt_state = tx.update(grads, opt_state, params)
     new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    # BatchNorm running stats are buffers, not gradient-updated parameters:
+    # fold the batch statistics recorded in the forward into them (torch
+    # momentum-0.1 moving average)
+    new_params = conv_ops.merge_bn_stats(new_params, aux.pop("bn_stats"))
     # skip: keep old state when loss was non-finite
     new_params = jax.tree_util.tree_map(
         lambda n, o: jnp.where(finite, n, o), new_params, params)

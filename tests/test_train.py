@@ -192,3 +192,70 @@ def test_checkpoint_manager_best_latest(tmp_path):
     m.save(300, 0.4, params)
     assert m.latest_checkpoint().endswith("step-300_wer-0.40000.ckpt")
     assert m.best_checkpoint().endswith("step-200_wer-0.30000.ckpt")
+
+
+def test_bn_running_stats_update_with_torch_semantics():
+    """ADVICE r1 (medium): BN running stats were never updated and train
+    never used batch statistics.  One train_step on a BN conv encoder must
+    move running stats by exactly the torch moving average
+    running = 0.9*running + 0.1*batch_stat (unbiased var for running_var),
+    with NO optimizer/weight-decay contamination of the buffers."""
+    from chinese_asr_tpu.models import encoder as enc_ops
+
+    cfg = (SMALL
+           .with_("encoder", encoder_type="CNN1D", conv_channels=8,
+                  norm="BN", act="RELU", ks=3, stride=(2, 2))
+           .with_("train", l2_decay=1e-2))     # big decay: contamination trips
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train, params)
+    batch = make_batch(cfg, T=12)
+
+    # expected batch stats: same forward, recorded outside grad
+    tape = []
+    enc_ops.apply_encoder(params["encoder"], cfg, batch.feats,
+                          batch.feat_lens, train=True, bn_updates=tape)
+    assert len(tape) == len(params["encoder"]["convs"])
+    expect = []
+    for p, m, v, n in tape:
+        expect.append((np.asarray(m), np.asarray(v) * n / (n - 1)))
+
+    new_params, _, metrics = train_step(params, tx.init(params), cfg, tx,
+                                        batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    for i, (m, v) in enumerate(expect):
+        blk = new_params["encoder"]["convs"][i]
+        np.testing.assert_allclose(np.asarray(blk["bn_mean"]), 0.1 * m,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(blk["bn_var"]),
+                                   0.9 * 1.0 + 0.1 * v, rtol=1e-5, atol=1e-6)
+    # and a second step keeps compounding the moving average
+    new2, _, _ = train_step(new_params, tx.init(new_params), cfg, tx, batch,
+                            jax.random.PRNGKey(2))
+    b0, b1 = (np.asarray(new_params["encoder"]["convs"][0]["bn_mean"]),
+              np.asarray(new2["encoder"]["convs"][0]["bn_mean"]))
+    assert not np.allclose(b0, b1)
+
+
+def test_bn_eval_uses_learned_running_stats():
+    """After training, eval-mode (train=False) must normalize with the
+    running stats, not the init mean=0/var=1."""
+    from chinese_asr_tpu.models import encoder as enc_ops
+
+    cfg = SMALL.with_("encoder", encoder_type="CNN1D", conv_channels=8,
+                      norm="BN", act="RELU", ks=3, stride=(2, 2))
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train, params)
+    batch = make_batch(cfg, T=12)
+    new_params, _, _ = train_step(params, tx.init(params), cfg, tx, batch,
+                                  jax.random.PRNGKey(1))
+
+    out_old_stats = enc_ops.apply_encoder(
+        dict(new_params["encoder"], convs=[
+            dict(c, bn_mean=params["encoder"]["convs"][i]["bn_mean"],
+                 bn_var=params["encoder"]["convs"][i]["bn_var"])
+            for i, c in enumerate(new_params["encoder"]["convs"])]),
+        cfg, batch.feats, batch.feat_lens)
+    out_new_stats = enc_ops.apply_encoder(new_params["encoder"], cfg,
+                                          batch.feats, batch.feat_lens)
+    assert not np.allclose(np.asarray(out_old_stats.out),
+                           np.asarray(out_new_stats.out))
