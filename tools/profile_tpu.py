@@ -1,0 +1,159 @@
+"""MFU + per-phase breakdown of the bw=16 pipeline on the real TPU.
+
+Produces the numbers for PERF.md (SURVEY section 5 profiling plan):
+  * per-phase wall-clock: featurize / encode (incl. key-value precompute) /
+    beam loop — each as its own jitted program, timed steady-state;
+  * end-to-end pipeline time (single fused program, as bench.py runs it);
+  * FLOPs from XLA cost analysis -> model FLOP/s -> MFU vs the v5e peak;
+  * optionally (--trace) a jax.profiler trace whose top ops by self-time
+    are printed (the round-1 recipe: parse *.trace.json.gz).
+
+Run on the TPU host:  python tools/profile_tpu.py [--trace]
+Sync discipline: np.asarray() transfers, never block_until_ready (a no-op
+through the axon tunnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# v5e chip peaks (jax-ml.github.io/scaling-book): 197 TFLOP/s bf16,
+# ~98.5 TFLOP/s fp32-via-MXU-passes, 819 GB/s HBM
+PEAK_BF16 = 197e12
+PEAK_F32 = PEAK_BF16 / 2
+HBM_GBS = 819e9
+
+
+def timed(fn, sync, min_iters=5, min_secs=3.0):
+    fn_out = fn()
+    sync(fn_out)
+    iters, t0 = 0, time.perf_counter()
+    while True:
+        sync(fn())
+        iters += 1
+        dt = time.perf_counter() - t0
+        if iters >= min_iters and dt > min_secs:
+            return dt / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true",
+                    help="also capture a jax.profiler trace + top ops")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--bw", type=int, default=16)
+    ap.add_argument("--secs", type=float, default=10.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from chinese_asr_tpu.audio import features
+    from chinese_asr_tpu.config import Config
+    from chinese_asr_tpu.decode import beam
+    from chinese_asr_tpu.models import las
+    from chinese_asr_tpu.utils import compile_cache
+
+    compile_cache.configure(ROOT, cpu=jax.default_backend() == "cpu")
+
+    cfg = Config()
+    B, bw = args.batch, args.bw
+    N = int(args.secs * cfg.audio.sample_rate)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray((0.1 * rng.randn(B, N)).astype(np.float32))
+    wav_lens = jnp.asarray(np.full(B, N, np.int64))
+
+    featurize = jax.jit(lambda w, l: features.featurize_batch(w, l, cfg.audio))
+    encode = jax.jit(lambda p, f, fl: las.encode(p, cfg, f, fl))
+    beam_fn = jax.jit(lambda p, f, fl: beam.beam_decode(p, cfg, bw, f, fl))
+
+    @jax.jit
+    def pipeline(p, w, wl):
+        f, fl = features.featurize_batch(w, wl, cfg.audio)
+        return beam.beam_decode(p, cfg, bw, f, fl)
+
+    sync_last = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[-1])
+
+    feats, feat_lens = featurize(wavs, wav_lens)
+    sync_last((feats, feat_lens))
+    t_feat = timed(lambda: featurize(wavs, wav_lens), sync_last)
+
+    eb = encode(params, feats, feat_lens)
+    sync_last(eb.values)
+    t_enc = timed(lambda: encode(params, feats, feat_lens),
+                  lambda o: sync_last(o.values))
+
+    res = beam_fn(params, feats, feat_lens)
+    sync_last(res.fin_scores)
+    t_beam = timed(lambda: beam_fn(params, feats, feat_lens),
+                   lambda o: sync_last(o.fin_scores))
+
+    sync_last(pipeline(params, wavs, wav_lens).fin_scores)
+    t_pipe = timed(lambda: pipeline(params, wavs, wav_lens),
+                   lambda o: sync_last(o.fin_scores))
+
+    # FLOPs from XLA's own cost model
+    def flops_of(jitted, *a):
+        c = jitted.lower(*a).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops", float("nan"))), \
+            float(c.get("bytes accessed", float("nan")))
+
+    fl_pipe, by_pipe = flops_of(pipeline, params, wavs, wav_lens)
+    fl_beam, by_beam = flops_of(beam_fn, params, feats, feat_lens)
+    fl_enc, by_enc = flops_of(encode, params, feats, feat_lens)
+    fl_feat, by_feat = flops_of(featurize, wavs, wav_lens)
+
+    audio_s = B * args.secs
+    print(f"device={jax.devices()[0]} B={B} bw={bw} utt={args.secs:.0f}s")
+    print(f"{'phase':<12}{'ms/batch':>10}{'GFLOP':>10}{'TFLOP/s':>9}"
+          f"{'MFU_f32%':>9}{'MFU_bf16%':>10}{'GB':>8}{'GB/s':>8}{'HBM%':>6}")
+    for name, t, fl, by in [("featurize", t_feat, fl_feat, by_feat),
+                            ("encode", t_enc, fl_enc, by_enc),
+                            ("beam", t_beam, fl_beam, by_beam),
+                            ("pipeline", t_pipe, fl_pipe, by_pipe)]:
+        tf = fl / t / 1e12
+        print(f"{name:<12}{t * 1e3:>10.2f}{fl / 1e9:>10.1f}{tf:>9.2f}"
+              f"{100 * fl / t / PEAK_F32:>9.1f}{100 * fl / t / PEAK_BF16:>10.1f}"
+              f"{by / 1e9:>8.2f}{by / t / 1e9:>8.0f}"
+              f"{100 * by / t / HBM_GBS:>6.1f}")
+    print(f"pipeline RTF = {audio_s / t_pipe:.0f}x realtime "
+          f"({B / t_pipe:.0f} utts/s/chip); "
+          f"phase sum {1e3 * (t_feat + t_enc + t_beam):.1f} ms "
+          f"vs fused {1e3 * t_pipe:.1f} ms")
+
+    if args.trace:
+        tdir = os.path.join(ROOT, ".profile_trace")
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                sync_last(pipeline(params, wavs, wav_lens).fin_scores)
+        traces = sorted(glob.glob(
+            os.path.join(tdir, "**", "*.trace.json.gz"), recursive=True),
+            key=os.path.getmtime)
+        if traces:
+            with gzip.open(traces[-1], "rt") as f:
+                ev = json.load(f).get("traceEvents", [])
+            tot = {}
+            for e in ev:
+                if e.get("ph") == "X" and "dur" in e:
+                    tot[e["name"]] = tot.get(e["name"], 0) + e["dur"]
+            print("\ntop ops by total self-time (us):")
+            for name, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:15]:
+                print(f"  {dur:>12.0f}  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()
