@@ -56,7 +56,7 @@ def _mk_arpa(path, vocab, rng):
     """Synthetic but structurally real ARPA (unigrams + bigrams) over the
     identity vocab, loaded through the first-party C++ scorer."""
     words = [vocab.int2word[i] for i in range(4, len(vocab.int2word))]
-    n_bi = 20000
+    n_bi = min(20000, len(words) * len(words) // 2)
     bi = set()
     while len(bi) < n_bi:
         a, b = rng.randint(0, len(words), 2)
