@@ -36,7 +36,16 @@ def make_mesh(cfg: Config, devices=None) -> Mesh:
     dp = cfg.mesh.data_parallel
     if dp == -1:
         dp = n // mp
-    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    assert dp * mp <= n, f"mesh {dp}x{mp} > {n} devices"
+    devices = devices.reshape(-1)[: dp * mp]
+    if devices[0].platform == "cpu" and dp * mp > 1:
+        # XLA:CPU deadlock containment (see tests/conftest.py): serialize
+        # launches.  Best-effort — fully effective only when set BEFORE the
+        # CPU client exists; real TPU meshes are unaffected.
+        try:
+            jax.config.update("jax_cpu_enable_async_dispatch", False)
+        except Exception:
+            pass
     return Mesh(devices.reshape(dp, mp),
                 (cfg.mesh.data_axis, cfg.mesh.model_axis))
 

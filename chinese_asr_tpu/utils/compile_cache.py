@@ -2,13 +2,16 @@
 
 The JAX persistent cache stores XLA:CPU AOT executables compiled for the
 *exact* machine features of the compiling host.  Loading them on a host
-with a different feature set intermittently aborts or SIGILLs mid-run
-(xla cpu_aot_loader.cc warns exactly this) — the root cause of the
-round-1 full-test-suite "Fatal Python error" crashes: the cache had been
-populated on a different microarchitecture.  Keying the CPU cache
+with a different feature set can abort or SIGILL mid-run
+(xla cpu_aot_loader.cc warns exactly this).  Keying the CPU cache
 directory by a host-feature fingerprint makes a foreign cache invisible
 instead of fatal.  TPU executables are target-keyed by the compiler, so
 the TPU cache dir stays stable.
+
+(Note: the round-1 full-test-suite "Fatal Python error" crash, once
+attributed to a foreign cache, was actually the XLA:CPU collective
+rendezvous deadlock — see tests/conftest.py.  The fingerprinting stays as
+hygiene: foreign-cache loads do happen and do warn.)
 """
 
 from __future__ import annotations

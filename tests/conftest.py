@@ -15,16 +15,35 @@ faulthandler.enable(open(os.path.join(_ROOT, ".crash.log"), "a"),
 
 # JAX_PLATFORMS alone is ignored when a PJRT plugin (e.g. the TPU tunnel)
 # registers itself; the legacy var + explicit config below both work.
+#
+# 32 virtual devices, not 8: the CPU client's shared "XLAEigen" worker pool
+# is sized by the DEVICE COUNT, and XLA:CPU's thunk executor runs dataflow-
+# independent all-reduces of one launch in arbitrary per-device order — on
+# an exactly-sized pool every worker can end up parked in some collective's
+# in-process rendezvous while the missing participant's thunk sits in the
+# queue forever, and rendezvous.cc ABORTS the process after 40 s ("Fatal
+# Python error: Aborted"; the round-1/round-2 intermittent full-suite
+# crash).  Meshes in tests use the first 8 devices (sharding.make_mesh
+# slices), so the pool has 4x slack over the worst-case number of
+# simultaneously-blocked collective participants.
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        flags + " --xla_force_host_platform_device_count=32").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Second prong of the deadlock containment: synchronous dispatch, so two
+# LAUNCHES of sharded programs never have their collectives in flight
+# simultaneously (the same pool-exhaustion mechanism applies across
+# launches).  Unit-tier programs are tiny; cost is negligible.
+# (gloo collectives were tried instead and hang outright in single-process
+# mode; the in-process communicator + pool slack + serial dispatch is the
+# reliable combination.)
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 
 import sys
@@ -32,9 +51,9 @@ import sys
 sys.path.insert(0, _ROOT)
 
 # persistent compilation cache, keyed by host-CPU fingerprint: a cache of
-# XLA:CPU AOT executables from a different microarchitecture aborts/SIGILLs
-# intermittently mid-run — the round-1 full-suite crash root cause (see
-# chinese_asr_tpu/utils/compile_cache.py).  Warm suite ~3 min vs ~10 cold.
+# XLA:CPU AOT executables from a different microarchitecture can abort or
+# SIGILL mid-run (see chinese_asr_tpu/utils/compile_cache.py).  Warm suite
+# ~3 min vs ~10 cold.
 from chinese_asr_tpu.utils import compile_cache
 
 compile_cache.configure(_ROOT, cpu=True, min_compile_secs=0.5)
