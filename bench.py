@@ -118,7 +118,7 @@ def main() -> None:
     rng = np.random.RandomState(0)
     rows = []
 
-    def pipeline_fn(bw, dtype=None):
+    def pipeline_fn(bw, dtype=None, compact=False):
         def featurize(wavs, wav_lens):
             f, fl = features.featurize_batch(wavs, wav_lens, cfg.audio)
             return (f.astype(dtype) if dtype else f), fl
@@ -128,6 +128,14 @@ def main() -> None:
             def p(params, wavs, wav_lens):
                 f, fl = featurize(wavs, wav_lens)
                 return greedy.greedy_decode(params, cfg, f, fl)
+        elif compact:
+            # no second pass -> best hypothesis selected ON DEVICE; only
+            # [B, max_len] rows cross the tunnel (api.transcribe_wavs path)
+            @jax.jit
+            def p(params, wavs, wav_lens):
+                f, fl = featurize(wavs, wav_lens)
+                res = beam.beam_decode(params, cfg, bw, f, fl)
+                return beam.select_best(res, cfg.decode.length_weight)
         else:
             @jax.jit
             def p(params, wavs, wav_lens):
@@ -138,7 +146,8 @@ def main() -> None:
     def run_config(name, B, bw, secs, lm=None, run_params=None, dtype=None):
         wavs, lens = _mk_wavs(rng, B, secs)
         wavs_d, lens_d = jnp.asarray(wavs), jnp.asarray(lens)
-        p = pipeline_fn(bw, dtype)
+        compact = bool(bw) and lm is None
+        p = pipeline_fn(bw, dtype, compact)
         run_params = params if run_params is None else run_params
 
         def once():
@@ -146,6 +155,8 @@ def main() -> None:
             # host finalization INSIDE the timed region (VERDICT r1 weak #3)
             if not bw:
                 out = greedy.finalize_greedy(res, vocab)
+            elif compact:
+                out = beam.finalize_best(res, vocab)
             else:
                 out = beam.finalize_beam(res, cfg, vocab, lm_model=lm,
                                          second_pass=lm is not None,
@@ -186,12 +197,17 @@ def main() -> None:
     mix = ([0.4, 0.5, 0.3, 0.45] if smoke else
            [4.0, 5.5, 7.0, 8.5, 10.0, 6.0, 9.0, 5.0])
     wavs, lens = _mk_wavs(rng, OFF, mix)
-    wav_list = [wavs[i, : lens[i]] for i in range(OFF)]
-    texts = asr.transcribe_wavs(wav_list)          # warm the bucket jits
+    # the file-ingest path ships raw PCM16 + a device-side peak gain
+    # (transcribe_files); simulate it with in-memory int16 wavs
+    wav_list = [(wavs[i, : lens[i]] * 32767).astype(np.int16)
+                for i in range(OFF)]
+    from chinese_asr_tpu.data.audio_io import peak_scale
+    scales = [peak_scale(w) for w in wav_list]
+    texts = asr.transcribe_wavs(wav_list, scales=scales)  # warm bucket jits
     assert len(texts) == OFF
 
     def api_once():
-        assert len(asr.transcribe_wavs(wav_list)) == OFF
+        assert len(asr.transcribe_wavs(wav_list, scales=scales)) == OFF
     iters, elapsed = _time_loop(api_once, min_iters=2,
                                 min_secs=0.2 if smoke else 5.0)
     audio_s = float(lens.sum()) / SR * iters

@@ -111,7 +111,7 @@ class ASR:
             return w.astype(np.int16)
         return w.astype(np.float32)
 
-    def _featurize(self, wavs: List[np.ndarray]):
+    def _featurize(self, wavs: List[np.ndarray], scales=None):
         from .data.dataset import round_up
         wavs = [self._as_wav(w) for w in wavs]
         N = round_up(max(1, max(len(w) for w in wavs)), self.wav_bucket)
@@ -125,14 +125,18 @@ class ASR:
                 w = w.astype(np.float32) / 32768.0
             mat[i, : len(w)] = w
             lens[i] = len(w)
+        # per-utterance device-side gain (peak normalization of raw PCM)
+        sc = (np.ones(len(wavs), np.float32) if scales is None
+              else np.asarray(scales, np.float32))
         fn = self._feat_fns.get(N)
         if fn is None:
             cfg = self.cfg.audio
             # per-utterance norm eps matches reference main.py:37 (1e-6)
-            fn = jax.jit(lambda w, l: features.featurize_batch(
-                w, l, cfg, norm_eps=1e-6))
+            fn = jax.jit(lambda w, l, s: features.featurize_batch(
+                w, l, cfg, norm_eps=1e-6, scale=s))
             self._feat_fns[N] = fn
-        feats, feat_lens = fn(jnp.asarray(mat), jnp.asarray(lens))
+        feats, feat_lens = fn(jnp.asarray(mat), jnp.asarray(lens),
+                              jnp.asarray(sc))
         if self.compute_dtype != jnp.float32:
             feats = feats.astype(self.compute_dtype)
         # degenerate (shorter than one frame) utterances: attend to one
@@ -141,26 +145,39 @@ class ASR:
 
     # ---- transcription ------------------------------------------------------
     def transcribe_wavs(self, wavs: Sequence[np.ndarray],
-                        max_batch: int = 128) -> List[str]:
+                        max_batch: int = 128, scales=None) -> List[str]:
         """Transcribe a list of waveforms; lists longer than ``max_batch``
-        are chunked (128 is the v5e throughput knee, see bench.py)."""
+        are chunked (128 is the v5e throughput knee, see bench.py).
+        ``scales`` (optional, one float per wav) applies a per-utterance
+        gain on device — used by ``transcribe_files`` for peak
+        normalization of raw PCM16."""
         if len(wavs) > max_batch:
             out: List[str] = []
             for s in range(0, len(wavs), max_batch):
-                out.extend(self.transcribe_wavs(wavs[s:s + max_batch],
-                                                max_batch))
+                out.extend(self.transcribe_wavs(
+                    wavs[s:s + max_batch], max_batch,
+                    None if scales is None else scales[s:s + max_batch]))
             return out
-        feats, feat_lens = self._featurize([self._as_wav(w) for w in wavs])
+        feats, feat_lens = self._featurize(
+            [self._as_wav(w) for w in wavs], scales)
         if not self.bw or self.bw <= 1:
             res = greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                feats, feat_lens)
             out = greedy_mod.finalize_greedy(res, self.vocab)
             return out.pred_text
+        if self.lm is None:
+            # no second pass -> best hypothesis is selected ON DEVICE and
+            # only [B, max_len] rows cross the host boundary (the n-best
+            # buffers are ~13 MB per batch at bw=16 — transfer-bound
+            # through the device tunnel)
+            best = beam_mod.beam_decode_best_jit(self.params, self.cfg,
+                                                 self.bw, feats, feat_lens)
+            return beam_mod.finalize_best(best, self.vocab).pred_text
         res = beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
                                        feats, feat_lens)
         out = beam_mod.finalize_beam(
             res, self.cfg, self.vocab,
-            lm_model=self.lm, second_pass=self.lm is not None,
+            lm_model=self.lm, second_pass=True,
             lm_weight=self.cfg.decode.lm_weight,
             length_weight=self.cfg.decode.length_weight)
         return out.pred_text
@@ -168,6 +185,7 @@ class ASR:
     def transcribe_files(self, paths: Sequence[str],
                          transcode: bool = False) -> List[str]:
         wavs = []
+        scales: List[float] = []
         for p in paths:
             if transcode or not p.lower().endswith(".wav"):
                 with tempfile.NamedTemporaryFile(suffix=".wav",
@@ -179,10 +197,14 @@ class ASR:
                 finally:
                     os.unlink(tmp)
             else:
-                wav, _ = audio_io.read_wav(p, self.cfg.audio.sample_rate)
-                wav = audio_io.peak_normalize(wav)   # sox --norm=-1 parity
+                # raw PCM16 + device-side peak gain: same sox --norm=-1
+                # math as peak_normalize, half the host->device bytes
+                wav, _ = audio_io.read_wav(p, self.cfg.audio.sample_rate,
+                                           dtype="int16")
+                scales.append(audio_io.peak_scale(wav))
             wavs.append(wav)
-        return self.transcribe_wavs(wavs)
+            scales += [1.0] * (len(wavs) - len(scales))   # transcoded entry
+        return self.transcribe_wavs(wavs, scales=scales)
 
     def __call__(self, path: str) -> str:
         """One utterance in, transcript out (main.py:100-102)."""
@@ -197,13 +219,14 @@ class ASR:
         rather than mid-character — decode the batch in one device call,
         and concatenate the per-chunk transcripts.  Disjoint cuts mean no
         audio is transcribed twice (no duplicated boundary characters)."""
-        wav, _ = audio_io.read_wav(path, self.cfg.audio.sample_rate)
-        wav = audio_io.peak_normalize(wav)
+        wav, _ = audio_io.read_wav(path, self.cfg.audio.sample_rate,
+                                   dtype="int16")
+        gain = audio_io.peak_scale(wav)     # peak-normalize on device
         sr = self.cfg.audio.sample_rate
         step = int(chunk_s * sr)
         search = max(1, int(search_s * sr))
         if len(wav) <= step + search:
-            return self.transcribe_wavs([wav])[0]
+            return self.transcribe_wavs([wav], scales=[gain])[0]
         smooth = max(1, int(0.025 * sr))           # 25 ms energy window
         cuts = [0]
         while cuts[-1] + step < len(wav) - search:
@@ -211,12 +234,13 @@ class ASR:
             lo = max(cuts[-1] + search, c - search)
             hi = min(len(wav) - 1, c + search)
             energy = np.convolve(
-                np.square(wav[lo:hi], dtype=np.float64),
+                np.square(wav[lo:hi].astype(np.float64)),
                 np.ones(smooth) / smooth, mode="same")
             cuts.append(lo + int(np.argmin(energy)))
         cuts.append(len(wav))
         chunks = [wav[a:b] for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
-        return "".join(self.transcribe_wavs(chunks))
+        return "".join(self.transcribe_wavs(chunks,
+                                            scales=[gain] * len(chunks)))
 
 
 def main(argv: Optional[List[str]] = None) -> None:

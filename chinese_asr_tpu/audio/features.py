@@ -234,17 +234,25 @@ def featurize(audio, n_frames_max: int, cfg: AudioConfig, frame_mask=None):
     return f.reshape(f.shape[:-2] + (-1,))
 
 
-def featurize_batch(wavs, wav_lens, cfg: AudioConfig, norm_eps: float = 1e-7):
+def featurize_batch(wavs, wav_lens, cfg: AudioConfig, norm_eps: float = 1e-7,
+                    scale=None):
     """Batched, fully jit-able: wavs [B, N] zero-padded, wav_lens [B] ->
     (features [B, T', D], feat_lens [B]).
 
     Padded frames are zeroed pre-delta (parity with per-utterance zero conv
     padding) and excluded from the instance-norm statistics.
+
+    ``scale`` ([B] float32, optional) multiplies each utterance after the
+    int16 -> float conversion; with ``audio_io.peak_scale`` factors this
+    reproduces the host-side ``peak_normalize`` (sox --norm=-1) bitwise
+    while still shipping raw PCM16 over the host->device link.
     """
     if wavs.dtype == jnp.int16:
         # raw PCM16 shipped host->device (half the transfer bytes);
         # converting here matches the host's int16 -> float32 /32768 exactly
         wavs = wavs.astype(jnp.float32) / 32768.0
+    if scale is not None:
+        wavs = wavs * scale[:, None].astype(wavs.dtype)
     B, N = wavs.shape
     T = int(num_frames(N, cfg))
     # clamp: wavs shorter than one frame yield 0 valid frames, not negative

@@ -86,6 +86,21 @@ def peak_normalize(x: np.ndarray, db: float = -1.0) -> np.ndarray:
     return (x * (target / peak)).astype(np.float32)
 
 
+def peak_scale(x: np.ndarray, db: float = -1.0) -> float:
+    """The scalar ``peak_normalize`` would multiply by, for applying the
+    sox --norm=-1 normalization ON DEVICE to raw int16 PCM (same float32
+    math, half the host->device bytes).  For int16 input the peak is taken
+    in [-1, 1] units (value/32768)."""
+    if x.size == 0:
+        return 1.0
+    peak = float(np.abs(x).max())
+    if np.issubdtype(x.dtype, np.integer):
+        peak /= 32768.0
+    if peak == 0.0:
+        return 1.0
+    return float(np.float32(10.0 ** (db / 20.0) / peak))
+
+
 def transcode(path: str, out_path: str, rate: int = 16000,
               norm_db: Optional[float] = -1.0) -> str:
     """ffmpeg -> 16 kHz s16 mono wav, then peak normalize (the reference's

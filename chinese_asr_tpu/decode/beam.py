@@ -35,7 +35,7 @@ from ..models import las
 
 
 class BeamResult(NamedTuple):
-    fin_tokens: jnp.ndarray     # [B, CAP, max_len] int32 (no sos/eos);
+    fin_tokens: jnp.ndarray     # [B, CAP, max_len] int16/int32 (no sos/eos);
                                 #   cap index = harvest_step*k + cand_rank
     fin_lens: jnp.ndarray       # [B, CAP] int32 (== harvest step)
     fin_scores: jnp.ndarray     # [B, CAP] f32; -inf marks EMPTY slots
@@ -203,12 +203,16 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
     fin_scores = s["fin_scores"].reshape(B, cap)
     fin_lens = jnp.broadcast_to(
         jnp.repeat(jnp.arange(max_len, dtype=jnp.int32), k)[None, :], (B, cap))
+    # token ids fit int16 for any real vocab (V=5004): halves the n-best
+    # device->host transfer, which dominates end-to-end batch time through
+    # the device tunnel when a second pass needs the full buffers
+    tok_t = jnp.int16 if V <= 32767 else jnp.int32
     return BeamResult(
-        fin_tokens=s["fin_tokens"].reshape(B, cap, max_len),
+        fin_tokens=s["fin_tokens"].reshape(B, cap, max_len).astype(tok_t),
         fin_lens=fin_lens,
         fin_scores=fin_scores,
         fin_count=jnp.isfinite(fin_scores).sum(axis=1).astype(jnp.int32),
-        live_tokens=s["hist"][:, 1:].reshape(B, k, max_len),
+        live_tokens=s["hist"][:, 1:].reshape(B, k, max_len).astype(tok_t),
         live_scores=s["logp_scores"].reshape(B, k),
         l_final=s["l_final"])
 
@@ -220,6 +224,84 @@ def _jitted(cfg: Config, bw: int):
 
 def beam_decode_jit(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
     return _jitted(cfg, bw)(params, feats=feats, feat_lens=feat_lens)
+
+
+class BestResult(NamedTuple):
+    tokens: jnp.ndarray   # [B, max_len] int32
+    lens: jnp.ndarray     # [B] int32
+    scores: jnp.ndarray   # [B] f32
+    finished: jnp.ndarray  # [B] bool (False -> live-beam fallback was used)
+
+
+def select_best(res: BeamResult, length_weight: float) -> BestResult:
+    """Device-side replica of ``finalize_beam``'s no-second-pass argmax.
+
+    Transfers shrink from the [B, cap, max_len] n-best buffers (~13 MB at
+    B=128, bw=16 — a third of a second through the device tunnel) to one
+    [B, max_len] row per sample.  Semantics match finalize_beam exactly:
+    best finished hypothesis by raw logp (first max wins, like Python
+    ``max``), else the reference's never-finished fallback — best live beam
+    by ``logp + length_weight * (l_final + 1)`` (model.py:961-972).
+    """
+    has_fin = res.fin_count > 0
+    slot = jnp.argmax(res.fin_scores, axis=1)                        # [B]
+    fin_tok = jnp.take_along_axis(
+        res.fin_tokens, slot[:, None, None], axis=1)[:, 0]           # [B, L]
+    fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
+    fin_sc = jnp.take_along_axis(res.fin_scores, slot[:, None], axis=1)[:, 0]
+
+    act = res.live_scores + length_weight * (
+        res.l_final + 1).astype(jnp.float32)                         # [B, k]
+    j = jnp.argmax(act, axis=1)
+    live_tok = jnp.take_along_axis(
+        res.live_tokens, j[:, None, None], axis=1)[:, 0].astype(jnp.int32)
+    live_sc = jnp.take_along_axis(act, j[:, None], axis=1)[:, 0]
+    live_len = jnp.full_like(fin_len, res.l_final + 1)
+
+    return BestResult(
+        tokens=jnp.where(has_fin[:, None], fin_tok.astype(jnp.int32),
+                         live_tok),
+        lens=jnp.where(has_fin, fin_len, live_len),
+        scores=jnp.where(has_fin, fin_sc, live_sc),
+        finished=has_fin)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_best(cfg: Config, bw: int):
+    def fn(params, feats, feat_lens):
+        res = beam_decode(params, cfg, bw, feats, feat_lens)
+        return select_best(res, cfg.decode.length_weight)
+    return jax.jit(fn)
+
+
+def beam_decode_best_jit(params, cfg: Config, bw: int, feats,
+                         feat_lens) -> BestResult:
+    """Fused decode + on-device best-hypothesis selection (the fast path
+    for transcription without second-pass rescoring)."""
+    return _jitted_best(cfg, bw)(params, feats, feat_lens)
+
+
+def finalize_best(best: BestResult, vocab, text=None):
+    """Host detokenization of a device-selected ``BestResult`` — produces
+    the same ``EvalOutput`` rows as ``finalize_beam`` without transferring
+    the n-best buffers."""
+    from ..decode.greedy import EvalOutput
+    from ..ops.metrics import cer
+
+    tokens = np.asarray(best.tokens)
+    lens = np.asarray(best.lens)
+    scores = np.asarray(best.scores)
+    B = tokens.shape[0]
+    pred_text = [vocab.decode(tokens[b, : lens[b]]) for b in range(B)]
+    score = [float(s) for s in scores]
+
+    wer = None
+    ref_text = None
+    if text is not None:
+        ref_text = [vocab.decode(t) if not isinstance(t, str) else t
+                    for t in text]
+        wer = float(np.mean([cer(p, r) for p, r in zip(pred_text, ref_text)]))
+    return EvalOutput(pred_text, score, ref_text, wer, B, None, None, None)
 
 
 # --------------------------------------------------------------------------

@@ -123,7 +123,11 @@ class EvalOutput(NamedTuple):
 
 
 def finalize_greedy(res: GreedyResult, vocab, text=None,
-                    feat_lens=None) -> EvalOutput:
+                    feat_lens=None, want_alignment: bool = False
+                    ) -> EvalOutput:
+    """``want_alignment`` gates the [B, max_len, L] attention-alignment
+    transfer (~7 MB/batch at B=128 — a material cost through the device
+    tunnel); only the trainer's heatmap logging needs it."""
     from ..ops.metrics import cer
 
     tokens = np.asarray(res.tokens)
@@ -147,6 +151,6 @@ def finalize_greedy(res: GreedyResult, vocab, text=None,
         ref_text = [vocab.decode(t) if not isinstance(t, str) else t for t in text]
         wer = float(np.mean([cer(p, r) for p, r in zip(pred_text, ref_text)]))
     return EvalOutput(pred_text, score, ref_text, wer, tokens.shape[0],
-                      np.asarray(res.alignments),
+                      np.asarray(res.alignments) if want_alignment else None,
                       None if feat_lens is None else np.asarray(feat_lens),
                       final_lens)

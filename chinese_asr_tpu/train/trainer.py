@@ -91,7 +91,8 @@ class Trainer:
             tl_np = np.asarray(b.text_lens)
             text = [to_np[i, : tl_np[i] - 1].tolist()
                     for i in range(len(tl_np))]                # strip eos
-            out = finalize_greedy(res, self.vocab, text=text)
+            out = finalize_greedy(res, self.vocab, text=text,
+                                  want_alignment=first)
             cers.append(out.wer)
             weights.append(out.n)
             if first:

@@ -154,3 +154,48 @@ def test_beam_fuzz_random_configs(seed):
         for (gt, gs), (rt, rs) in zip(got_h, ref_h):
             assert gt == rt, (seed, b)
             assert abs(gs - rs) < 1e-3
+
+
+@pytest.mark.parametrize("bw,seed", [(2, 11), (4, 12), (8, 13)])
+def test_select_best_matches_finalize(bw, seed):
+    """Device-side select_best must reproduce finalize_beam's no-second-pass
+    choice exactly (tokens, scores, ties, and the never-finished live-beam
+    fallback)."""
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(seed), cfg)
+    feats, lens = make_inputs(cfg, seed)
+    vocab = Vocab.build(["abcdefghijklmnopqrst"],
+                        max_num_words=cfg.vocab.max_num_words)
+
+    res = beam.beam_decode_jit(params, cfg, bw, jnp.asarray(feats),
+                               jnp.asarray(lens))
+    full = beam.finalize_beam(res, cfg, vocab,
+                              length_weight=cfg.decode.length_weight)
+    best = beam.beam_decode_best_jit(params, cfg, bw, jnp.asarray(feats),
+                                     jnp.asarray(lens))
+    fast = beam.finalize_best(best, vocab)
+    assert fast.pred_text == full.pred_text
+    np.testing.assert_allclose(fast.score, full.score, atol=1e-5)
+
+
+def test_select_best_live_fallback():
+    """A sample whose beam never emits eos must fall back to the best live
+    beam with the length-weighted activation score (model.py:961-972)."""
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(21), cfg)
+    feats, lens = make_inputs(cfg, 21)
+    vocab = Vocab.build(["abcdefghijklmnopqrst"],
+                        max_num_words=cfg.vocab.max_num_words)
+    res = beam.beam_decode_jit(params, cfg, 4, jnp.asarray(feats),
+                               jnp.asarray(lens))
+    # force the "never finished" path for every sample by erasing the
+    # harvested n-best buffers
+    res = res._replace(
+        fin_scores=jnp.full_like(res.fin_scores, -jnp.inf),
+        fin_count=jnp.zeros_like(res.fin_count))
+    full = beam.finalize_beam(res, cfg, vocab,
+                              length_weight=cfg.decode.length_weight)
+    fast = beam.finalize_best(
+        beam.select_best(res, cfg.decode.length_weight), vocab)
+    assert fast.pred_text == full.pred_text
+    np.testing.assert_allclose(fast.score, full.score, atol=1e-5)

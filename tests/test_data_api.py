@@ -294,9 +294,25 @@ def test_transcribe_long_no_duplication(tmp_path):
     chunks = calls[0]
     total = sum(len(c) for c in chunks)
     assert total == len(wav)                       # nothing dropped/repeated
-    readback, _ = audio_io.read_wav(p, sr)         # int16-quantized on disk
-    np.testing.assert_allclose(np.concatenate(chunks),
-                               audio_io.peak_normalize(readback))
+    # long-form ships raw PCM16 (peak gain applied on device)
+    readback, _ = audio_io.read_wav(p, sr, dtype="int16")
+    np.testing.assert_array_equal(np.concatenate(chunks), readback)
+
+
+def test_device_peak_scale_matches_host_normalize(corpus):
+    """transcribe_files (raw PCM16 + on-device peak gain) must produce the
+    same transcripts as host-side peak_normalize + float32 upload."""
+    mpath, _ = corpus
+    utts = dataset.read_manifest(mpath)
+    from chinese_asr_tpu.api import ASR
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    paths = [u.path for u in utts[:3]]
+    via_files = asr.transcribe_files(paths)
+    host = []
+    for p in paths:
+        w, _ = audio_io.read_wav(p, 16000)
+        host.append(audio_io.peak_normalize(w))
+    assert via_files == asr.transcribe_wavs(host)
 
 
 def test_prefetch_order_and_errors():
