@@ -152,11 +152,19 @@ class ASR:
         gain on device — used by ``transcribe_files`` for peak
         normalization of raw PCM16."""
         if len(wavs) > max_batch:
-            out: List[str] = []
-            for s in range(0, len(wavs), max_batch):
-                out.extend(self.transcribe_wavs(
-                    wavs[s:s + max_batch], max_batch,
-                    None if scales is None else scales[s:s + max_batch]))
+            # length-sort before chunking (restore order after): mixed-length
+            # batches otherwise pad every chunk to the global max, wasting
+            # host->device upload and encoder steps (the reference buckets
+            # training batches the same way, TrainSampler data.py:346-367)
+            order = sorted(range(len(wavs)), key=lambda i: len(wavs[i]))
+            out: List[str] = [""] * len(wavs)
+            for s in range(0, len(order), max_batch):
+                idx = order[s:s + max_batch]
+                texts = self.transcribe_wavs(
+                    [wavs[i] for i in idx], max_batch,
+                    None if scales is None else [scales[i] for i in idx])
+                for i, t in zip(idx, texts):
+                    out[i] = t
             return out
         feats, feat_lens = self._featurize(
             [self._as_wav(w) for w in wavs], scales)

@@ -327,3 +327,15 @@ def test_prefetch_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_transcribe_chunking_sorts_by_length(corpus):
+    """Chunked transcription length-sorts internally but returns results in
+    input order, identical to the unchunked call."""
+    from chinese_asr_tpu.api import ASR
+    rng = np.random.RandomState(5)
+    wavs = [(0.1 * rng.randn(n)).astype(np.float32)
+            for n in [9000, 4000, 7000, 3000, 8000]]
+    asr = ASR(cfg=SMALL, wav_bucket=4800)
+    assert (asr.transcribe_wavs(wavs, max_batch=2)
+            == asr.transcribe_wavs(wavs, max_batch=16))
