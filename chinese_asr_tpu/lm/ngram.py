@@ -306,6 +306,40 @@ class NgramLM:
             state_lens.ctypes.data_as(i32p), cap,
             np.ascontiguousarray(words).ctypes.data_as(_u32p), n)
 
+    def score_batch_ids(self, flat_ids: np.ndarray, offsets: np.ndarray,
+                        bos: bool = True, eos: bool = True) -> np.ndarray:
+        """Sentence-level batch scoring over pre-mapped LM word ids: one FFI
+        call, zero string work.  ``flat_ids`` [sum(lens)] uint32 (from
+        ``token_id_table``), ``offsets`` [n+1] int64 row boundaries."""
+        assert self._py is None
+        n = len(offsets) - 1
+        flat_ids = np.ascontiguousarray(flat_ids, np.uint32)
+        offsets = np.ascontiguousarray(offsets, np.int64)
+        if flat_ids.size == 0:
+            flat_ids = np.zeros(1, np.uint32)
+        out = np.zeros(n, np.float64)
+        self._lib.lm_score_batch(
+            self._h, flat_ids.ctypes.data_as(_u32p),
+            offsets.ctypes.data_as(_i64p), n,
+            int(bos), int(eos), out.ctypes.data_as(_f64p))
+        return out
+
+    def token_id_table(self, vocab) -> np.ndarray:
+        """[vocab_size] uint32 mapping decoder token ids -> LM word ids
+        (OOV -> <unk>); built once and cached per vocab object."""
+        assert self._py is None
+        cache = getattr(self, "_tok_tables", None)
+        if cache is None:
+            cache = self._tok_tables = {}
+        key = id(vocab)
+        tab = cache.get(key)
+        if tab is None:
+            n = max(vocab.int2word) + 1
+            words = [vocab.int2word.get(i, "<unk>") for i in range(n)]
+            tab = self.word_ids(words)
+            cache[key] = tab
+        return tab
+
     def num_ngrams(self) -> int:
         if self._py is not None:
             return len(self._py.grams)

@@ -199,3 +199,40 @@ def test_select_best_live_fallback():
         beam.select_best(res, cfg.decode.length_weight), vocab)
     assert fast.pred_text == full.pred_text
     np.testing.assert_allclose(fast.score, full.score, atol=1e-5)
+
+
+def test_second_pass_ids_path_matches_string_path(tmp_path):
+    """The zero-string ids rescoring path (token_id_table +
+    score_batch_ids) must pick the same hypotheses with the same scores as
+    string-based scoring through the pure-Python oracle."""
+    from chinese_asr_tpu.lm import ngram
+
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(31), cfg)
+    feats, lens = make_inputs(cfg, 31)
+    vocab = Vocab.build(["abcdefghijklmnopqrst"],
+                        max_num_words=cfg.vocab.max_num_words)
+    res = beam.beam_decode_jit(params, cfg, 8, jnp.asarray(feats),
+                               jnp.asarray(lens))
+
+    # an ARPA over the actual decode vocabulary so scores differ by word
+    rng = np.random.RandomState(0)
+    words = [vocab.int2word[i] for i in sorted(vocab.int2word)
+             if i >= 4]
+    lines = ["\\data\\", f"ngram 1={len(words) + 3}", "", "\\1-grams:",
+             "-2.0\t<unk>", "-1.5\t<s>\t-0.3", "-1.1\t</s>"]
+    lines += [f"{-0.5 - 2.0 * rng.rand():.4f}\t{w}" for w in words]
+    lines += ["", "\\end\\", ""]
+    p = tmp_path / "vocab.arpa"
+    p.write_text("\n".join(lines))
+
+    lm_cpp = ngram.NgramLM(str(p))
+    if lm_cpp._py is not None:
+        pytest.skip("C++ toolchain unavailable")
+    lm_py = ngram.PyNgramLM(str(p))
+
+    kw = dict(second_pass=True, lm_weight=7.0, length_weight=1.5)
+    fast = beam.finalize_beam(res, cfg, vocab, lm_model=lm_cpp, **kw)
+    slow = beam.finalize_beam(res, cfg, vocab, lm_model=lm_py, **kw)
+    assert fast.pred_text == slow.pred_text
+    np.testing.assert_allclose(fast.score, slow.score, atol=1e-9)
