@@ -119,7 +119,16 @@ def main():
     fl_epfx, by_epfx = flops_of(to_encode, params, wavs, wav_lens)
     fl_feat, by_feat = flops_of(featurize, wavs, wav_lens)
     fl_enc, by_enc = fl_epfx - fl_feat, by_epfx - by_feat
-    fl_beam, by_beam = fl_pipe - fl_epfx, by_pipe - by_epfx
+    # XLA's cost model counts a dynamic lax.while_loop body ONCE; the beam
+    # loop runs l_final+1 times (max_len with random weights, no early
+    # exit), so scale the per-iteration cost by the true trip count.
+    steps = int(pipeline(params, wavs, wav_lens).l_final) + 1
+    fl_beam = (fl_pipe - fl_epfx) * steps
+    by_beam = (by_pipe - by_epfx) * steps
+    fl_pipe = fl_epfx + fl_beam
+    by_pipe = by_epfx + by_beam
+    print(f"beam loop executed {steps} steps "
+          f"(while-body cost scaled accordingly)")
 
     audio_s = B * args.secs
     print(f"device={jax.devices()[0]} B={B} bw={bw} utt={args.secs:.0f}s")
