@@ -111,7 +111,8 @@ class ASR:
             return w.astype(np.int16)
         return w.astype(np.float32)
 
-    def _featurize(self, wavs: List[np.ndarray], scales=None):
+    def _prep_host(self, wavs: List[np.ndarray], scales=None):
+        """Pad a wav list into one host matrix (+lens, per-utterance gain)."""
         from .data.dataset import round_up
         wavs = [self._as_wav(w) for w in wavs]
         N = round_up(max(1, max(len(w) for w in wavs)), self.wav_bucket)
@@ -125,9 +126,18 @@ class ASR:
                 w = w.astype(np.float32) / 32768.0
             mat[i, : len(w)] = w
             lens[i] = len(w)
-        # per-utterance device-side gain (peak normalization of raw PCM)
         sc = (np.ones(len(wavs), np.float32) if scales is None
               else np.asarray(scales, np.float32))
+        return mat, lens, sc
+
+    @staticmethod
+    def _upload(prep):
+        """Start the (async) host->device transfers for a prepped batch."""
+        mat, lens, sc = prep
+        return jnp.asarray(mat), jnp.asarray(lens), jnp.asarray(sc)
+
+    def _featurize_device(self, mat_d, lens_d, sc_d):
+        N = mat_d.shape[1]
         fn = self._feat_fns.get(N)
         if fn is None:
             cfg = self.cfg.audio
@@ -135,8 +145,7 @@ class ASR:
             fn = jax.jit(lambda w, l, s: features.featurize_batch(
                 w, l, cfg, norm_eps=1e-6, scale=s))
             self._feat_fns[N] = fn
-        feats, feat_lens = fn(jnp.asarray(mat), jnp.asarray(lens),
-                              jnp.asarray(sc))
+        feats, feat_lens = fn(mat_d, lens_d, sc_d)
         if self.compute_dtype != jnp.float32:
             feats = feats.astype(self.compute_dtype)
         # degenerate (shorter than one frame) utterances: attend to one
@@ -155,19 +164,31 @@ class ASR:
             # length-sort before chunking (restore order after): mixed-length
             # batches otherwise pad every chunk to the global max, wasting
             # host->device upload and encoder steps (the reference buckets
-            # training batches the same way, TrainSampler data.py:346-367)
+            # training batches the same way, TrainSampler data.py:346-367).
+            # Double-buffered: chunk i+1's host->device upload is issued
+            # before chunk i's host finalization blocks, hiding the upload
+            # (~60% of offline wall time through the device tunnel).
             order = sorted(range(len(wavs)), key=lambda i: len(wavs[i]))
+            chunks = [order[s:s + max_batch]
+                      for s in range(0, len(order), max_batch)]
+            preps = [self._prep_host(
+                [wavs[i] for i in idx],
+                None if scales is None else [scales[i] for i in idx])
+                for idx in chunks]
             out: List[str] = [""] * len(wavs)
-            for s in range(0, len(order), max_batch):
-                idx = order[s:s + max_batch]
-                texts = self.transcribe_wavs(
-                    [wavs[i] for i in idx], max_batch,
-                    None if scales is None else [scales[i] for i in idx])
+            dev = self._upload(preps[0])
+            for c, idx in enumerate(chunks):
+                cur, dev = dev, (self._upload(preps[c + 1])
+                                 if c + 1 < len(chunks) else None)
+                texts = self._decode_batch(self._featurize_device(*cur))
                 for i, t in zip(idx, texts):
                     out[i] = t
             return out
-        feats, feat_lens = self._featurize(
-            [self._as_wav(w) for w in wavs], scales)
+        return self._decode_batch(self._featurize_device(
+            *self._upload(self._prep_host(list(wavs), scales))))
+
+    def _decode_batch(self, featurized) -> List[str]:
+        feats, feat_lens = featurized
         if not self.bw or self.bw <= 1:
             res = greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                feats, feat_lens)
