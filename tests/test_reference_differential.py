@@ -247,3 +247,38 @@ def test_beam_matches_reference_more_seeds(ref, seed):
     for b in ref_nbest:
         assert (Counter(t for t, _ in ref_nbest[b])
                 == Counter(t for t, _ in our_nbest.get(b, [])))
+
+
+def test_second_pass_matches_reference(ref, tmp_path):
+    """LM second-pass selection (logp + w_lm*lm + w_len*len argmax,
+    model.py:749-763) vs the actual reference code, with the SAME
+    first-party n-gram LM on both sides (kenlm-parity .score signature on
+    the reference side, the zero-string ids path on ours)."""
+    from chinese_asr_tpu.lm import ngram
+
+    rng = np.random.RandomState(3)
+    words = [INT2WORD[i] for i in range(4, V)]
+    lines = ["\\data\\", f"ngram 1={len(words) + 3}", "", "\\1-grams:",
+             "-2.0\t<unk>", "-1.5\t<s>\t-0.3", "-1.1\t</s>"]
+    lines += [f"{-0.5 - 2.0 * rng.rand():.4f}\t{w}" for w in words]
+    lines += ["", "\\end\\", ""]
+    arpa = tmp_path / "ref.arpa"
+    arpa.write_text("\n".join(lines), encoding="utf-8")
+    lm = ngram.NgramLM(str(arpa))
+
+    feats, lens = _inputs()
+    data, tlens = _ref_data(feats, lens)
+    with legacy_int_division():
+        r = ref.model.eval_one_batch_with_beam(
+            torch.device("cpu"), 8, data, tlens, text=None,
+            int2word=INT2WORD, second_pass=True, lm_model=lm,
+            lm_weight=1.5, length_weight=1.5)
+
+    import jax.numpy as jnp
+    res = beam_mod.beam_decode_jit(ref.params, CFG, 8, jnp.asarray(feats),
+                                   jnp.asarray(lens))
+    out = beam_mod.finalize_beam(res, CFG, VOCAB, lm_model=lm,
+                                 second_pass=True, lm_weight=1.5,
+                                 length_weight=1.5)
+    assert out.pred_text == r.pred_text
+    np.testing.assert_allclose(out.score, r.score, rtol=0, atol=1e-4)
