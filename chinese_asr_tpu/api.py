@@ -177,39 +177,53 @@ class ASR:
                 for idx in chunks]
             out: List[str] = [""] * len(wavs)
             dev = self._upload(preps[0])
+            pend = None     # (chunk indices, in-flight device result)
             for c, idx in enumerate(chunks):
                 cur, dev = dev, (self._upload(preps[c + 1])
                                  if c + 1 < len(chunks) else None)
-                texts = self._decode_batch(self._featurize_device(*cur))
-                for i, t in zip(idx, texts):
-                    out[i] = t
+                # dispatch chunk c's device work BEFORE blocking on chunk
+                # c-1's host finalization: the device decodes chunk c while
+                # the host detokenizes c-1 (and chunk c+1 uploads)
+                res = self._decode_dispatch(self._featurize_device(*cur))
+                if pend is not None:
+                    for i, t in zip(pend[0], self._decode_finalize(pend[1])):
+                        out[i] = t
+                pend = (idx, res)
+            for i, t in zip(pend[0], self._decode_finalize(pend[1])):
+                out[i] = t
             return out
         return self._decode_batch(self._featurize_device(
             *self._upload(self._prep_host(list(wavs), scales))))
 
-    def _decode_batch(self, featurized) -> List[str]:
+    def _decode_dispatch(self, featurized):
+        """Launch the device decode; returns the in-flight device result."""
         feats, feat_lens = featurized
         if not self.bw or self.bw <= 1:
-            res = greedy_mod.greedy_decode_jit(self.params, self.cfg,
-                                               feats, feat_lens)
-            out = greedy_mod.finalize_greedy(res, self.vocab)
-            return out.pred_text
+            return greedy_mod.greedy_decode_jit(self.params, self.cfg,
+                                                feats, feat_lens)
         if self.lm is None:
             # no second pass -> best hypothesis is selected ON DEVICE and
             # only [B, max_len] rows cross the host boundary (the n-best
             # buffers are ~13 MB per batch at bw=16 — transfer-bound
             # through the device tunnel)
-            best = beam_mod.beam_decode_best_jit(self.params, self.cfg,
+            return beam_mod.beam_decode_best_jit(self.params, self.cfg,
                                                  self.bw, feats, feat_lens)
-            return beam_mod.finalize_best(best, self.vocab).pred_text
-        res = beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
-                                       feats, feat_lens)
-        out = beam_mod.finalize_beam(
+        return beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
+                                        feats, feat_lens)
+
+    def _decode_finalize(self, res) -> List[str]:
+        if not self.bw or self.bw <= 1:
+            return greedy_mod.finalize_greedy(res, self.vocab).pred_text
+        if self.lm is None:
+            return beam_mod.finalize_best(res, self.vocab).pred_text
+        return beam_mod.finalize_beam(
             res, self.cfg, self.vocab,
             lm_model=self.lm, second_pass=True,
             lm_weight=self.cfg.decode.lm_weight,
-            length_weight=self.cfg.decode.length_weight)
-        return out.pred_text
+            length_weight=self.cfg.decode.length_weight).pred_text
+
+    def _decode_batch(self, featurized) -> List[str]:
+        return self._decode_finalize(self._decode_dispatch(featurized))
 
     def transcribe_files(self, paths: Sequence[str],
                          transcode: bool = False) -> List[str]:
