@@ -95,17 +95,29 @@ def main():
 
     sync_last = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[-1])
 
+    # dispatch + sync round-trip overhead (~25-30 ms through the device
+    # tunnel): measured with a trivial program and reported separately —
+    # every timed call pays it ONCE, so it cancels in the prefix
+    # differences but inflates the first (featurize) phase
+    null_fn = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    sync_last(null_fn(z))
+    t_null = timed(lambda: null_fn(z), sync_last)
+
     sync_last(featurize(wavs, wav_lens))
-    t_feat = timed(lambda: featurize(wavs, wav_lens), sync_last)
+    t_feat = timed(lambda: featurize(wavs, wav_lens), sync_last) - t_null
 
     sync_last(to_encode(params, wavs, wav_lens))
-    t_enc_pfx = timed(lambda: to_encode(params, wavs, wav_lens), sync_last)
+    t_enc_pfx = timed(lambda: to_encode(params, wavs, wav_lens),
+                      sync_last) - t_null
 
     sync_last(pipeline(params, wavs, wav_lens).fin_scores)
     t_pipe = timed(lambda: pipeline(params, wavs, wav_lens),
-                   lambda o: sync_last(o.fin_scores))
+                   lambda o: sync_last(o.fin_scores)) - t_null
     t_enc = t_enc_pfx - t_feat
     t_beam = t_pipe - t_enc_pfx
+    print(f"dispatch+sync round trip: {t_null * 1e3:.1f} ms "
+          f"(excluded from every phase row)")
 
     # FLOPs from XLA's own cost model
     def flops_of(jitted, *a):
