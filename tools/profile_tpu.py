@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--bw", type=int, default=16)
     ap.add_argument("--secs", type=float, default=10.0)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="weights/activations dtype (scores stay f32)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +74,11 @@ def main():
     B, bw = args.batch, args.bw
     N = int(args.secs * cfg.audio.sample_rate)
     params = las.init_params(jax.random.PRNGKey(0), cfg)
+    dt = jnp.dtype(args.dtype)
+    if dt != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     rng = np.random.RandomState(0)
     wavs = jnp.asarray((0.1 * rng.randn(B, N)).astype(np.float32))
     wav_lens = jnp.asarray(np.full(B, N, np.int64))
@@ -85,13 +93,13 @@ def main():
     @jax.jit
     def to_encode(p, w, wl):
         f, fl = features.featurize_batch(w, wl, cfg.audio)
-        eb = las.encode(p, cfg, f, fl)
+        eb = las.encode(p, cfg, f.astype(dt), fl)
         return eb.keys, eb.values, eb.mask, eb.init_cell_state
 
     @jax.jit
     def pipeline(p, w, wl):
         f, fl = features.featurize_batch(w, wl, cfg.audio)
-        return beam.beam_decode(p, cfg, bw, f, fl)
+        return beam.beam_decode(p, cfg, bw, f.astype(dt), fl)
 
     sync_last = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[-1])
 
