@@ -160,6 +160,8 @@ class ASR:
         ``scales`` (optional, one float per wav) applies a per-utterance
         gain on device — used by ``transcribe_files`` for peak
         normalization of raw PCM16."""
+        if not wavs:
+            return []
         if len(wavs) > max_batch:
             # length-sort before chunking (restore order after): mixed-length
             # batches otherwise pad every chunk to the global max, wasting
@@ -171,15 +173,17 @@ class ASR:
             order = sorted(range(len(wavs)), key=lambda i: len(wavs[i]))
             chunks = [order[s:s + max_batch]
                       for s in range(0, len(order), max_batch)]
-            preps = [self._prep_host(
-                [wavs[i] for i in idx],
-                None if scales is None else [scales[i] for i in idx])
-                for idx in chunks]
+
+            def prep(idx):     # one chunk at a time: peak host memory
+                return self._prep_host(    # stays O(chunk), not O(corpus)
+                    [wavs[i] for i in idx],
+                    None if scales is None else [scales[i] for i in idx])
+
             out: List[str] = [""] * len(wavs)
-            dev = self._upload(preps[0])
+            dev = self._upload(prep(chunks[0]))
             pend = None     # (chunk indices, in-flight device result)
             for c, idx in enumerate(chunks):
-                cur, dev = dev, (self._upload(preps[c + 1])
+                cur, dev = dev, (self._upload(prep(chunks[c + 1]))
                                  if c + 1 < len(chunks) else None)
                 # dispatch chunk c's device work BEFORE blocking on chunk
                 # c-1's host finalization: the device decodes chunk c while

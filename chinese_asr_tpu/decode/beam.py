@@ -244,7 +244,11 @@ def select_best(res: BeamResult, length_weight: float) -> BestResult:
     by ``logp + length_weight * (l_final + 1)`` (model.py:961-972).
     """
     has_fin = res.fin_count > 0
-    slot = jnp.argmax(res.fin_scores, axis=1)                        # [B]
+    # mask non-finite slots like finalize_beam's np.isfinite does: a NaN
+    # score (e.g. one bad bf16 step) must not win the argmax
+    fin_sel = jnp.where(jnp.isfinite(res.fin_scores), res.fin_scores,
+                        -jnp.inf)
+    slot = jnp.argmax(fin_sel, axis=1)                               # [B]
     fin_tok = jnp.take_along_axis(
         res.fin_tokens, slot[:, None, None], axis=1)[:, 0]           # [B, L]
     fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
@@ -345,7 +349,10 @@ def finalize_beam(res: BeamResult, cfg: Config, vocab, text=None,
     if second_pass and valid.any():
         vb, vs = np.nonzero(valid)                    # flat slot coordinates
         lens_v = fin_lens[vb, vs]                     # [N]
-        if hasattr(lm_model, "score_batch_ids"):
+        if getattr(lm_model, "has_batch_states", False):
+            # zero-string path needs the C++ backend (NgramLM with a
+            # compiled kernel); the pure-Python fallback and foreign LM
+            # objects go through the string paths below
             # zero-string path: map token ids -> LM word ids through a
             # cached table and score every hypothesis in ONE FFI call
             table = lm_model.token_id_table(vocab)

@@ -132,12 +132,9 @@ def finalize_greedy(res: GreedyResult, vocab, text=None,
 
     # overlap the device->host copies (~25 ms fixed latency per transfer
     # through the device tunnel); alignments only when asked for
-    for a in (res.tokens, res.final_lens, res.finished, res.scores) + (
-            (res.alignments,) if want_alignment else ()):
-        try:
-            a.copy_to_host_async()
-        except AttributeError:
-            pass
+    from .beam import _prefetch_host
+    _prefetch_host((res.tokens, res.final_lens, res.finished, res.scores)
+                   + ((res.alignments,) if want_alignment else ()))
     tokens = np.asarray(res.tokens)
     final_lens = np.asarray(res.final_lens)
     finished = np.asarray(res.finished)

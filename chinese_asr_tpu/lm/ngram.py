@@ -331,13 +331,16 @@ class NgramLM:
         cache = getattr(self, "_tok_tables", None)
         if cache is None:
             cache = self._tok_tables = {}
+        # key by id() but HOLD the vocab: a collected vocab's address can
+        # be reused by a different Vocab, which would silently alias tables
         key = id(vocab)
-        tab = cache.get(key)
-        if tab is None:
-            n = max(vocab.int2word) + 1
-            words = [vocab.int2word.get(i, "<unk>") for i in range(n)]
-            tab = self.word_ids(words)
-            cache[key] = tab
+        hit = cache.get(key)
+        if hit is not None and hit[0] is vocab:
+            return hit[1]
+        n = max(vocab.int2word) + 1
+        words = [vocab.int2word.get(i, "<unk>") for i in range(n)]
+        tab = self.word_ids(words)
+        cache[key] = (vocab, tab)
         return tab
 
     def num_ngrams(self) -> int:

@@ -236,3 +236,29 @@ def test_second_pass_ids_path_matches_string_path(tmp_path):
     slow = beam.finalize_beam(res, cfg, vocab, lm_model=lm_py, **kw)
     assert fast.pred_text == slow.pred_text
     np.testing.assert_allclose(fast.score, slow.score, atol=1e-9)
+
+
+def test_second_pass_with_fallback_ngram_lm(tmp_path):
+    """NgramLM running on its pure-Python fallback (no C++ toolchain) must
+    take the string rescoring path, not crash in the ids path."""
+    from chinese_asr_tpu.lm import ngram
+
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(41), cfg)
+    feats, lens = make_inputs(cfg, 41)
+    vocab = Vocab.build(["abcdefghijklmnopqrst"],
+                        max_num_words=cfg.vocab.max_num_words)
+    res = beam.beam_decode_jit(params, cfg, 4, jnp.asarray(feats),
+                               jnp.asarray(lens))
+
+    p = tmp_path / "t.arpa"
+    p.write_text("\\data\\\nngram 1=4\n\n\\1-grams:\n-1.0\t<unk>\n"
+                 "-0.5\t<s>\n-0.5\t</s>\n-0.7\ta\n\n\\end\\\n")
+    lm = ngram.NgramLM(str(p))
+    # force the pure-Python fallback regardless of toolchain availability
+    lm._py = ngram.PyNgramLM(str(p))
+    lm._h = None
+    assert not lm.has_batch_states
+    out = beam.finalize_beam(res, cfg, vocab, lm_model=lm, second_pass=True,
+                             lm_weight=1.5, length_weight=1.5)
+    assert len(out.pred_text) == feats.shape[0]

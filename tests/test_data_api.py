@@ -339,3 +339,8 @@ def test_transcribe_chunking_sorts_by_length(corpus):
     asr = ASR(cfg=SMALL, wav_bucket=4800)
     assert (asr.transcribe_wavs(wavs, max_batch=2)
             == asr.transcribe_wavs(wavs, max_batch=16))
+
+
+def test_transcribe_empty_list():
+    from chinese_asr_tpu.api import ASR
+    assert ASR(cfg=SMALL, wav_bucket=4800).transcribe_wavs([]) == []

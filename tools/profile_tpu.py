@@ -142,6 +142,9 @@ def main():
     # XLA's cost model counts a dynamic lax.while_loop body ONCE; the beam
     # loop runs l_final+1 times (max_len with random weights, no early
     # exit), so scale the per-iteration cost by the true trip count.
+    # Caveat: the post-loop epilogue (n-best buffer reshape/int16 cast,
+    # ~20 MB once) is scaled along with the body, inflating the beam row's
+    # bytes by ~2% — acceptable for this table.
     steps = int(pipeline(params, wavs, wav_lens).l_final) + 1
     fl_beam = (fl_pipe - fl_epfx) * steps
     by_beam = (by_pipe - by_epfx) * steps
