@@ -141,6 +141,11 @@ def params_from_torch_state(enc_sd: Dict[str, np.ndarray],
     }
     if "attn_hidden_weight" in dec_sd:
         decoder["attn_hidden_w"] = J(dec_sd["attn_hidden_weight"])
+    if "init_state.0" in dec_sd:
+        init = []
+        while f"init_state.{len(init)}" in dec_sd:
+            init.append(J(dec_sd[f"init_state.{len(init)}"]))
+        decoder["init_state"] = init
 
     return {"encoder": encoder, "attention": attention, "decoder": decoder}
 
@@ -153,3 +158,78 @@ def load_torch_checkpoint(path: str, cfg: Config, dtype=jnp.float32) -> Params:
     enc_sd = {k: v.numpy() for k, v in ckpt["encoder_state_dict"].items()}
     dec_sd = {k: v.numpy() for k, v in ckpt["decoder_state_dict"].items()}
     return params_from_torch_state(enc_sd, dec_sd, cfg, dtype)
+
+
+def params_to_torch_state(params: Params, cfg: Config):
+    """Inverse of ``params_from_torch_state``: (enc_sd, dec_sd) numpy dicts
+    in the reference's tensor naming/orientation, so a model trained here
+    can be loaded by the reference code (or re-imported).  Supports the
+    same surface the importer does: the RNN encoder family + the learned
+    decoder init state."""
+    ecfg, dcfg = cfg.encoder, cfg.decoder
+
+    def N(a):
+        return np.asarray(a, np.float32)
+
+    enc_sd: Dict[str, np.ndarray] = {}
+    for i, layer in enumerate(params["encoder"]["layers"]):
+        base = f"rnn.rnn.{i}."
+        for dname, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            if dname not in layer:
+                continue
+            d = layer[dname]
+            enc_sd[base + "weight_ih_l0" + suffix] = N(d["w_ih"]).T
+            enc_sd[base + "weight_hh_l0" + suffix] = N(d["w_hh"]).T
+            enc_sd[base + "bias_ih_l0" + suffix] = N(d["b_ih"])
+            enc_sd[base + "bias_hh_l0" + suffix] = N(d["b_hh"])
+
+    ap, dp = params["attention"], params["decoder"]
+    dec_sd: Dict[str, np.ndarray] = {
+        "embedding.weight": N(dp["embedding"]),
+        "proj_linear.weight": N(dp["proj_w"]).T,
+        "proj_linear.bias": N(dp["proj_b"]),
+        "attn_mechanism.W_enc": N(ap["w_enc"]),
+        "attn_mechanism.b_attn": N(ap["b_attn"]),
+        "attn_mechanism.W_hidden": N(ap["w_hidden"]),
+        "attn_mechanism.v": N(ap["v"]),
+    }
+    if "map_enc" in ap:
+        dec_sd["attn_mechanism.map_enc.weight"] = N(ap["map_enc"]).T
+    if "linear_map" in ap:
+        dec_sd["attn_mechanism.linear_map"] = N(ap["linear_map"])
+    for i, cell in enumerate(dp["cells"]):
+        base = f"cell.cell.{i}."
+        dec_sd[base + "weight_ih"] = N(cell["w_ih"]).T
+        dec_sd[base + "weight_hh"] = N(cell["w_hh"]).T
+        dec_sd[base + "bias_ih"] = N(cell["b_ih"])
+        dec_sd[base + "bias_hh"] = N(cell["b_hh"])
+    if "attn_hidden_w" in dp:
+        dec_sd["attn_hidden_weight"] = N(dp["attn_hidden_w"])
+    if "init_state" in dp:
+        for i, e in enumerate(dp["init_state"]):
+            dec_sd[f"init_state.{i}"] = N(e)
+    unexported = set(params["encoder"]) - {"layers"}
+    if unexported:
+        raise ValueError(
+            f"torch export supports the RNN encoder family only; params "
+            f"contain unsupported encoder entries {sorted(unexported)}")
+    return enc_sd, dec_sd
+
+
+def save_torch_checkpoint(path: str, params: Params, cfg: Config,
+                          args=None) -> str:
+    """Write a reference-schema .ckpt (model.py:347-355:
+    {'encoder_state_dict', 'decoder_state_dict', 'optimizer_state_dict',
+    'args'}) loadable by the reference code and by
+    ``load_torch_checkpoint``."""
+    import torch
+    enc_sd, dec_sd = params_to_torch_state(params, cfg)
+    torch.save({
+        "encoder_state_dict": {k: torch.from_numpy(v.copy())
+                               for k, v in enc_sd.items()},
+        "decoder_state_dict": {k: torch.from_numpy(v.copy())
+                               for k, v in dec_sd.items()},
+        "optimizer_state_dict": {},
+        "args": args,
+    }, path)
+    return path

@@ -282,3 +282,27 @@ def test_second_pass_matches_reference(ref, tmp_path):
                                  length_weight=1.5)
     assert out.pred_text == r.pred_text
     np.testing.assert_allclose(out.score, r.score, rtol=0, atol=1e-4)
+
+
+def test_export_loads_into_reference_model(ref):
+    """save-format round trip THROUGH the reference code: our exported
+    state dicts load strictly into the reference Model and produce the
+    same transcripts the original reference weights did."""
+    from chinese_asr_tpu.models import las as las_mod
+
+    enc_sd, dec_sd = las_mod.params_to_torch_state(ref.params, CFG)
+    m2 = ref.mod.Model()
+    m2.encoder.load_state_dict({k: torch.from_numpy(v.copy())
+                                for k, v in enc_sd.items()}, strict=True)
+    m2.decoder.load_state_dict({k: torch.from_numpy(v.copy())
+                                for k, v in dec_sd.items()}, strict=True)
+
+    feats, lens = _inputs()
+    data, tlens = _ref_data(feats, lens)
+    r1 = ref.model.eval_one_batch_with_greedy(torch.device("cpu"), data,
+                                              tlens, INT2WORD)
+    data, tlens = _ref_data(feats, lens)
+    r2 = m2.eval_one_batch_with_greedy(torch.device("cpu"), data,
+                                       tlens, INT2WORD)
+    assert r1.pred_text == r2.pred_text
+    np.testing.assert_allclose(r1.score, r2.score, rtol=0, atol=1e-6)

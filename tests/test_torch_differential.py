@@ -277,3 +277,21 @@ def test_encoder_gradients_match_torch(converted):
     got_grad = np.asarray(jax.grad(loss_fn)(jnp.asarray(x)))
     # padding positions contribute nothing in both systems
     np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-3, atol=1e-4)
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """save_torch_checkpoint (reference schema) -> load_torch_checkpoint
+    reproduces the exact params pytree, including the learned decoder init
+    state."""
+    import jax as _jax
+    for cfg in (CFG,
+                CFG.with_("decoder", init_cell_state_as_param=True)):
+        params = las.init_params(_jax.random.PRNGKey(3), cfg)
+        path = str(tmp_path / "export.ckpt")
+        las.save_torch_checkpoint(path, params, cfg)
+        loaded = las.load_torch_checkpoint(path, cfg)
+        la, lb = (_jax.tree_util.tree_leaves(params),
+                  _jax.tree_util.tree_leaves(loaded))
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
