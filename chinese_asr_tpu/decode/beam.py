@@ -32,6 +32,7 @@ import numpy as np
 from ..config import Config
 from ..models import decoder as dec_ops
 from ..models import las
+from ..ops.pallas import topk as pallas_topk
 
 
 class BeamResult(NamedTuple):
@@ -117,11 +118,16 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
         # top-(k+1).  Tie order matches the flat top_k (lower beam, then
         # lower token).  Measured >13% faster end-to-end than a flat
         # top_k over k*V lanes on v5e at B=64, k=16.
-        # approx_max_k with recall_target=1.0 is the TPU-native EXACT top-k
-        # (partial-reduce custom call instead of the full sort lax.top_k
-        # lowers to — the sort was 91% of the whole beam loop on v5e)
-        v1, t1 = jax.lax.approx_max_k(
-            s3.reshape(B * k, V), k + 1, recall_target=1.0)
+        # Stage 1 backend: the fused Pallas kernel (one HBM stream + k+1
+        # VMEM argmax passes) on TPU — approx_max_k's partial-reduce
+        # custom call was 0.67 ms/step, >half the whole beam step;
+        # elsewhere approx_max_k with recall_target=1.0 (the exact-top-k
+        # lowering; a full-sort lax.top_k was 91% of the loop on v5e).
+        if pallas_topk.use_pallas_topk():
+            v1, t1 = pallas_topk.top_k(s3.reshape(B * k, V), k + 1)
+        else:
+            v1, t1 = jax.lax.approx_max_k(
+                s3.reshape(B * k, V), k + 1, recall_target=1.0)
         v1 = v1.reshape(B, k, k + 1)
         t1 = t1.reshape(B, k, k + 1)
         cand_scores, i2 = jax.lax.top_k(v1.reshape(B, k * (k + 1)), cand)

@@ -1,0 +1,42 @@
+"""Pallas exact top-k: interpret-mode parity with jax.lax.top_k, including
+tie-breaking (lower index first) and vocab-size padding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chinese_asr_tpu.ops.pallas import topk as pallas_topk
+
+
+@pytest.mark.parametrize("R,V,k", [(8, 64, 5), (6, 100, 4), (256, 5004, 17)])
+def test_matches_lax_top_k(R, V, k):
+    rng = np.random.RandomState(R + V + k)
+    x = jnp.asarray(rng.randn(R, V).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, k)
+    v, i = pallas_topk.top_k(x, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_ties_prefer_lower_index():
+    x = np.zeros((4, 40), np.float32)
+    x[:, [3, 17, 29]] = 7.0                       # three-way tie at the top
+    x[:, 5] = 2.0
+    v, i = pallas_topk.top_k(jnp.asarray(x), 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i)[0], [3, 17, 29, 5])
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 4)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_neg_inf_rows():
+    """Rows full of -inf (empty beams) must not crash and keep order."""
+    x = np.full((8, 130), -np.inf, np.float32)
+    x[1, 7] = 1.0
+    v, i = pallas_topk.top_k(jnp.asarray(x), 3, interpret=True)
+    assert int(i[1, 0]) == 7 and float(v[1, 0]) == 1.0
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 3)
+    np.testing.assert_array_equal(np.asarray(v)[np.isfinite(np.asarray(v))],
+                                  np.asarray(v_ref)[
+                                      np.isfinite(np.asarray(v_ref))])
