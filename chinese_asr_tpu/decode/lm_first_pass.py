@@ -25,6 +25,7 @@ import numpy as np
 from ..config import Config
 from ..models import decoder as dec_ops
 from ..models import las
+from ..ops.pallas import topk as pallas_topk
 
 
 class _StepOut(NamedTuple):
@@ -45,7 +46,13 @@ def _make_step(cfg: Config, topn: int):
             dec_params, attn_params, dcfg, acfg, mask, keys, values,
             tokens, cell_state, attn_hidden)
         logit = out.logit / dcfg.temperature
-        top_logit, top_tokens = jax.lax.top_k(logit, topn)
+        if pallas_topk.use_pallas_topk():
+            # same fused kernel as decode/beam.py — identical semantics to
+            # lax.top_k (exact, lower-index tie break), 1 HBM stream
+            top_logit, top_tokens = pallas_topk.top_k(
+                logit.astype(jnp.float32), topn)
+        else:
+            top_logit, top_tokens = jax.lax.top_k(logit, topn)
         return _StepOut(top_logit, top_tokens.astype(jnp.int32),
                         out.attn_hidden_state, out.cell_state)
 
