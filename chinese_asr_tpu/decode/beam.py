@@ -46,7 +46,10 @@ class BeamResult(NamedTuple):
     l_final: jnp.ndarray        # scalar int32: reference's loop var at exit
 
 
-def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
+def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
+                use_pallas: bool = None) -> BeamResult:
+    if use_pallas is None:
+        use_pallas = pallas_topk.use_pallas_topk()
     B = feats.shape[0]
     k = bw
     V = cfg.vocab.vocab_size
@@ -123,7 +126,7 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
         # custom call was 0.67 ms/step, >half the whole beam step;
         # elsewhere approx_max_k with recall_target=1.0 (the exact-top-k
         # lowering; a full-sort lax.top_k was 91% of the loop on v5e).
-        if pallas_topk.use_pallas_topk():
+        if use_pallas:
             v1, t1 = pallas_topk.top_k(s3.reshape(B * k, V), k + 1)
         else:
             v1, t1 = jax.lax.approx_max_k(
@@ -224,12 +227,17 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(cfg: Config, bw: int):
-    return jax.jit(functools.partial(beam_decode, cfg=cfg, bw=bw))
+def _jitted(cfg: Config, bw: int, use_pallas: bool):
+    # use_pallas is part of the cache key so flipping the
+    # CHINESE_ASR_PALLAS(_TOPK) env override after the first decode takes
+    # effect instead of replaying the previously traced kernel choice
+    return jax.jit(functools.partial(beam_decode, cfg=cfg, bw=bw,
+                                     use_pallas=use_pallas))
 
 
 def beam_decode_jit(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
-    return _jitted(cfg, bw)(params, feats=feats, feat_lens=feat_lens)
+    return _jitted(cfg, bw, pallas_topk.use_pallas_topk())(
+        params, feats=feats, feat_lens=feat_lens)
 
 
 class BestResult(NamedTuple):
@@ -277,9 +285,10 @@ def select_best(res: BeamResult, length_weight: float) -> BestResult:
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_best(cfg: Config, bw: int):
+def _jitted_best(cfg: Config, bw: int, use_pallas: bool):
     def fn(params, feats, feat_lens):
-        res = beam_decode(params, cfg, bw, feats, feat_lens)
+        res = beam_decode(params, cfg, bw, feats, feat_lens,
+                          use_pallas=use_pallas)
         return select_best(res, cfg.decode.length_weight)
     return jax.jit(fn)
 
@@ -288,7 +297,8 @@ def beam_decode_best_jit(params, cfg: Config, bw: int, feats,
                          feat_lens) -> BestResult:
     """Fused decode + on-device best-hypothesis selection (the fast path
     for transcription without second-pass rescoring)."""
-    return _jitted_best(cfg, bw)(params, feats, feat_lens)
+    return _jitted_best(cfg, bw, pallas_topk.use_pallas_topk())(
+        params, feats, feat_lens)
 
 
 def finalize_best(best: BestResult, vocab, text=None):

@@ -36,7 +36,9 @@ class _StepOut(NamedTuple):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_step(cfg: Config, topn: int):
+def _make_step(cfg: Config, topn: int, use_pallas: bool):
+    # use_pallas in the cache key: env-override flips take effect (same
+    # rule as decode/beam._jitted)
     dcfg, acfg = cfg.decoder, cfg.attention
 
     @jax.jit
@@ -45,12 +47,13 @@ def _make_step(cfg: Config, topn: int):
         out = dec_ops.decoder_step_beam(
             dec_params, attn_params, dcfg, acfg, mask, keys, values,
             tokens, cell_state, attn_hidden)
-        logit = out.logit / dcfg.temperature
-        if pallas_topk.use_pallas_topk():
+        # f32 BEFORE top-k on both paths so CPU (lax.top_k) and TPU
+        # (pallas) return bit-identical f32 top_logit under bf16 compute
+        logit = out.logit.astype(jnp.float32) / dcfg.temperature
+        if use_pallas:
             # same fused kernel as decode/beam.py — identical semantics to
             # lax.top_k (exact, lower-index tie break), 1 HBM stream
-            top_logit, top_tokens = pallas_topk.top_k(
-                logit.astype(jnp.float32), topn)
+            top_logit, top_tokens = pallas_topk.top_k(logit, topn)
         else:
             top_logit, top_tokens = jax.lax.top_k(logit, topn)
         return _StepOut(top_logit, top_tokens.astype(jnp.int32),
@@ -80,7 +83,7 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     cand = 2 * k
 
     eb = las.encode(params, cfg, feats, feat_lens)
-    step = _make_step(cfg, topn)
+    step = _make_step(cfg, topn, pallas_topk.use_pallas_topk())
 
     cell = eb.init_cell_state
     if cell is None:

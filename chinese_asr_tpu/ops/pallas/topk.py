@@ -34,17 +34,25 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
     BR, Vp = x.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (BR, Vp), 1)
     neg_inf = jnp.float32(-jnp.inf)
+    # Sort key treats NaN as +inf so a NaN row max (NaN != NaN) cannot make
+    # `hit` all-False and emit an out-of-range index; the reported VALUE is
+    # gathered from the original x, so a NaN scores row returns NaN at the
+    # NaN's (lowest) position like lax.top_k.  (Only divergence from
+    # lax.top_k's total order: a row holding BOTH +inf and NaN ranks them
+    # equal instead of NaN-first — unreachable from logp inputs.)
+    key = jnp.where(jnp.isnan(x), jnp.float32(jnp.inf), x)
     # "taken" mask instead of overwriting with a sentinel: rows that are
     # entirely -inf must still yield k DISTINCT ascending indices, exactly
     # like jax.lax.top_k
     taken = col >= n_valid                                   # padding cols
     for j in range(k):
-        xm = jnp.where(taken, neg_inf, x)
+        xm = jnp.where(taken, neg_inf, key)
         m = jnp.max(xm, axis=1, keepdims=True)               # [BR, 1]
         hit = (xm == m) & ~taken
         i = jnp.min(jnp.where(hit, col, Vp), axis=1,
                     keepdims=True)                           # first max
-        vals_ref[:, j] = m[:, 0]
+        # i < n_valid always: k <= n_valid so an untaken column exists
+        vals_ref[:, j] = jnp.max(jnp.where(col == i, x, neg_inf), axis=1)
         idx_ref[:, j] = i[:, 0]
         taken = taken | (col == i)
 
@@ -55,18 +63,28 @@ def _top_k_impl(x, k: int, interpret: bool):
     Vp = -(-V // 128) * 128
     if V < Vp:
         x = jnp.pad(x, ((0, 0), (0, Vp - V)), constant_values=NEG_INF)
-    BR = 128 if R % 128 == 0 else R
-    grid = (R // BR,)
+    # Row blocking: a single whole-array block at arbitrary R (e.g. the
+    # tail chunk of a >max_batch transcription, R = B*bw) can exceed VMEM
+    # (704 x 5120 f32 ~ 14 MB + temporaries).  Pad R up to a multiple of
+    # 128 and slice the outputs; rows <= 128 stay one un-padded block.
+    Rp = R
+    if R > 128 and R % 128 != 0:
+        Rp = -(-R // 128) * 128
+        x = jnp.pad(x, ((0, Rp - R), (0, 0)), constant_values=NEG_INF)
+    BR = 128 if Rp % 128 == 0 else Rp
+    grid = (Rp // BR,)
     vals, idx = pl.pallas_call(
         functools.partial(_kernel, k=k, n_valid=V),
         grid=grid,
         in_specs=[pl.BlockSpec((BR, Vp), lambda r: (r, 0))],
         out_specs=(pl.BlockSpec((BR, k), lambda r: (r, 0)),
                    pl.BlockSpec((BR, k), lambda r: (r, 0))),
-        out_shape=(jax.ShapeDtypeStruct((R, k), jnp.float32),
-                   jax.ShapeDtypeStruct((R, k), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((Rp, k), jnp.float32),
+                   jax.ShapeDtypeStruct((Rp, k), jnp.int32)),
         interpret=interpret,
     )(x)
+    if Rp != R:
+        vals, idx = vals[:R], idx[:R]
     return vals, idx
 
 

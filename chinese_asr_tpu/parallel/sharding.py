@@ -37,6 +37,14 @@ def make_mesh(cfg: Config, devices=None) -> Mesh:
     if dp == -1:
         dp = n // mp
     assert dp * mp <= n, f"mesh {dp}x{mp} > {n} devices"
+    if dp * mp < n and devices.reshape(-1)[0].platform != "cpu":
+        # <= (not ==) exists for the oversized virtual-CPU pools the test
+        # suite uses; on real hardware a smaller-than-slice mesh is almost
+        # certainly a misconfiguration leaving chips idle — say so.
+        import warnings
+        warnings.warn(
+            f"mesh {dp}x{mp} uses only {dp * mp} of {n} devices; "
+            f"{n - dp * mp} chips will sit idle", stacklevel=2)
     devices = devices.reshape(-1)[: dp * mp]
     if devices[0].platform == "cpu" and dp * mp > 1:
         # XLA:CPU deadlock containment (see tests/conftest.py): serialize

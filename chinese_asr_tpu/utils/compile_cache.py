@@ -21,12 +21,24 @@ import os
 
 
 def cpu_fingerprint() -> str:
-    """Stable hash of the host CPU feature flags."""
+    """Stable hash of the host CPU identity.
+
+    Flags alone are NOT enough: XLA also derives tuning target features
+    (e.g. ``prefer-no-gather`` on some microarchitectures) from the CPU
+    *model*, so two hosts with identical flag lines can still produce
+    mutually-foreign AOT executables.  Hash model identity + flags."""
+    keys = ("vendor_id", "cpu family", "model\t", "model name", "stepping",
+            "flags")
+    picked = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if any(line.startswith(k) for k in keys):
+                    picked.append(line)
+                if line.strip() == "" and picked:
+                    break               # first core only; all cores match
+        if picked:
+            return hashlib.sha1("".join(picked).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

@@ -262,3 +262,35 @@ def test_second_pass_with_fallback_ngram_lm(tmp_path):
     out = beam.finalize_beam(res, cfg, vocab, lm_model=lm, second_pass=True,
                              lm_weight=1.5, length_weight=1.5)
     assert len(out.pred_text) == feats.shape[0]
+
+
+def test_pallas_env_toggle_retraces(monkeypatch):
+    """ADVICE r2: flipping CHINESE_ASR_PALLAS_TOPK after the first decode
+    used to silently replay the previously traced kernel choice (the
+    lru_cache keyed only on (cfg, bw)).  The backend choice is now part of
+    the jit-cache key, so a toggle takes effect on the next call."""
+    from chinese_asr_tpu.ops.pallas import topk as pallas_topk
+
+    calls = {"pallas": 0}
+
+    def fake_top_k(x, k, interpret=False):
+        calls["pallas"] += 1
+        return jax.lax.top_k(x, k)          # same semantics by contract
+
+    monkeypatch.setattr(pallas_topk, "top_k", fake_top_k)
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    feats, lens = make_inputs(cfg, 0)
+    beam._jitted.cache_clear()
+
+    monkeypatch.setenv("CHINESE_ASR_PALLAS_TOPK", "0")
+    r0 = beam.beam_decode_jit(params, cfg, 2, jnp.asarray(feats),
+                              jnp.asarray(lens))
+    assert calls["pallas"] == 0
+
+    monkeypatch.setenv("CHINESE_ASR_PALLAS_TOPK", "1")
+    r1 = beam.beam_decode_jit(params, cfg, 2, jnp.asarray(feats),
+                              jnp.asarray(lens))
+    assert calls["pallas"] > 0              # toggle took effect
+    np.testing.assert_array_equal(np.asarray(r0.fin_scores),
+                                  np.asarray(r1.fin_scores))

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from chinese_asr_tpu.config import Config
 from chinese_asr_tpu.decode import lm_first_pass
+from chinese_asr_tpu.ops.pallas import topk as pallas_topk
 from chinese_asr_tpu.lm import ngram
 from chinese_asr_tpu.models import las
 from chinese_asr_tpu.vocab import Vocab
@@ -123,14 +124,16 @@ def test_step_jit_cached_across_calls(tmp_path):
                                        vocab, topn=6)
     info = lm_first_pass._make_step.cache_info()
     assert info.misses == 1
-    step = lm_first_pass._make_step(cfg, 6)
+    step = lm_first_pass._make_step(
+        cfg, 6, pallas_topk.use_pallas_topk())
     traces0 = step._cache_size()
 
     lm_first_pass.lm_first_pass_decode(params, cfg, 2, feats, lens, lm,
                                        vocab, topn=6)
     info = lm_first_pass._make_step.cache_info()
     assert info.misses == 1                      # same closure reused
-    assert lm_first_pass._make_step(cfg, 6) is step
+    assert lm_first_pass._make_step(
+        cfg, 6, pallas_topk.use_pallas_topk()) is step
     assert step._cache_size() == traces0         # zero new jit traces
 
 

@@ -30,6 +30,35 @@ def test_ties_prefer_lower_index():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+def test_row_padding_keeps_vmem_blocks():
+    """R not a multiple of 128 (tail chunk of a >max_batch transcription,
+    e.g. R = 44*16 = 704) must be padded into 128-row grid blocks, not one
+    whole-array block (14 MB+ of VMEM on TPU), and the padded rows sliced
+    back off."""
+    rng = np.random.RandomState(0)
+    R, V, k = 200, 300, 6
+    x = jnp.asarray(rng.randn(R, V).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, k)
+    v, i = pallas_topk.top_k(x, k, interpret=True)
+    assert v.shape == (R, k) and i.shape == (R, k)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_nan_rows_stay_in_range():
+    """A NaN row max (e.g. one bad bf16 step) must emit the NaN's position
+    and value like lax.top_k, never an out-of-range index."""
+    x = np.random.RandomState(1).randn(4, 96).astype(np.float32)
+    x[0, 11] = np.nan
+    x[2, :] = np.nan
+    v, i = pallas_topk.top_k(jnp.asarray(x), 3, interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+    assert (i >= 0).all() and (i < 96).all()
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 3)
+    np.testing.assert_array_equal(i, np.asarray(i_ref))
+    np.testing.assert_array_equal(v, np.asarray(v_ref))
+
+
 def test_neg_inf_rows():
     """Rows full of -inf (empty beams) must not crash and keep order."""
     x = np.full((8, 130), -np.inf, np.float32)
