@@ -6,11 +6,15 @@ The reference loads a KenLM binary model and calls
 ``BaseScore`` state API in its first-pass-LM decode (model.py:1131-1180).
 Here the scorer is first-party:
 
-* ``NgramLM`` — loads an **ARPA** file through the C++ kernel
-  (runtime/cpp/ngram_lm.cpp, ctypes ABI) with a pure-Python fallback.
-  API mirrors kenlm: ``score(sentence, bos=True, eos=True)`` returns the
-  sum of log10 conditional probabilities with Katz backoff; ``base_score``
-  is the incremental variant.
+* ``NgramLM`` — loads an **ARPA** text file or a **KenLM binary**
+  (``.klm``, PROBING layout — the format of the reference's shipped
+  artifact ``zh_giga.no_cna_cmn.prune01244.klm``, reference gpd.py:121 /
+  main.py:126) through the C++ kernel (runtime/cpp/ngram_lm.cpp, ctypes
+  ABI), with a pure-Python fallback for ARPA only.  API mirrors kenlm:
+  ``score(sentence, bos=True, eos=True)`` returns the sum of log10
+  conditional probabilities with Katz backoff; ``base_score`` is the
+  incremental variant.  ``write_binary`` is the matching build_binary
+  equivalent (ARPA -> .klm converter).
 * ``score_batch`` scores a whole n-best list in one FFI call — the
   batched host-side rescoring path for the v5e service config
   (SURVEY.md section 2.b).
@@ -81,7 +85,9 @@ class PyNgramLM:
                     backoff_sum += self.grams[c][1]
         if self.has_unk:
             return backoff_sum + self.grams[("<unk>",)][0]
-        return -100.0
+        # kenlm synthesizes an <unk> unigram at -100 when the ARPA lacks
+        # one, so context backoffs still apply (matches the C++ kernel)
+        return backoff_sum - 100.0
 
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         words = [self._vocab_map(w) for w in sentence.split()]
@@ -111,6 +117,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(so)
     lib.lm_load_arpa.restype = ctypes.c_void_p
     lib.lm_load_arpa.argtypes = [ctypes.c_char_p]
+    lib.lm_last_error.restype = ctypes.c_char_p
+    lib.lm_last_error.argtypes = []
+    lib.lm_write_binary.restype = ctypes.c_int32
+    lib.lm_write_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.lm_free.argtypes = [ctypes.c_void_p]
     lib.lm_order.restype = ctypes.c_int32
     lib.lm_order.argtypes = [ctypes.c_void_p]
@@ -173,16 +183,13 @@ class NgramLM:
         self.path = path
         with open(path, "rb") as f:
             magic = f.read(9)
-        if magic.startswith(b"mmap lm"):
-            raise ValueError(
-                f"{path} is a KenLM *binary* model; this framework reads "
-                "ARPA text models. Convert once with KenLM's "
-                "`build_binary -d model.klm model.arpa` dump or keep the "
-                "original .arpa from lmplz.")
+        is_binary = magic.startswith(b"mmap lm")
         lib = _lib()
         self._h = None
         self._py: Optional[PyNgramLM] = None
         if lib is not None:
+            # lm_load_arpa auto-detects kenlm binaries by magic and loads
+            # the PROBING layout directly (runtime/cpp/ngram_lm.cpp)
             h = lib.lm_load_arpa(path.encode("utf-8"))
             if h:
                 self._h = ctypes.c_void_p(h)
@@ -190,8 +197,26 @@ class NgramLM:
                 self.order = int(lib.lm_order(self._h))
                 self._id_cache: Dict[str, int] = {}
                 return
+            err = lib.lm_last_error().decode("utf-8", "replace")
+            raise ValueError(f"failed to load LM {path}: {err}")
+        if is_binary:
+            raise ValueError(
+                f"{path} is a KenLM binary model, which needs the C++ LM "
+                "kernel, and no C++ toolchain is available to build it. "
+                "Install a compiler (g++/clang++) or provide the ARPA "
+                "text model instead.")
         self._py = PyNgramLM(path)
         self.order = self._py.order
+
+    def write_binary(self, path: str) -> None:
+        """Write this (ARPA-loaded) model as a KenLM PROBING binary —
+        the build_binary equivalent.  The output loads through both this
+        class and kenlm itself."""
+        if self._py is not None:
+            raise RuntimeError("write_binary needs the C++ LM kernel")
+        if not self._lib.lm_write_binary(self._h, path.encode("utf-8")):
+            err = self._lib.lm_last_error().decode("utf-8", "replace")
+            raise RuntimeError(f"write_binary failed: {err}")
 
     # ---- helpers -----------------------------------------------------------
     def _ids(self, words: Sequence[str]) -> np.ndarray:
