@@ -212,16 +212,26 @@ class ASR:
             # through the device tunnel)
             return beam_mod.beam_decode_best_jit(self.params, self.cfg,
                                                  self.bw, feats, feat_lens)
-        return beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
-                                        feats, feat_lens)
+        res = beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
+                                       feats, feat_lens)
+        # start the tiny fin_count transfer now: it completes with the
+        # decode, so the n-best compaction in _decode_finalize (which
+        # needs it on host to pick a gather size) never stalls on it
+        try:
+            res.fin_count.copy_to_host_async()
+        except AttributeError:
+            pass
+        return res
 
     def _decode_finalize(self, res) -> List[str]:
         if not self.bw or self.bw <= 1:
             return greedy_mod.finalize_greedy(res, self.vocab).pred_text
         if self.lm is None:
             return beam_mod.finalize_best(res, self.vocab).pred_text
+        # compact the n-best buffers on device first: only the finite
+        # slots cross the host boundary (lossless; see beam.compact_nbest)
         return beam_mod.finalize_beam(
-            res, self.cfg, self.vocab,
+            beam_mod.compact_nbest(res), self.cfg, self.vocab,
             lm_model=self.lm, second_pass=True,
             lm_weight=self.cfg.decode.lm_weight,
             length_weight=self.cfg.decode.length_weight).pred_text

@@ -326,6 +326,47 @@ def finalize_best(best: BestResult, vocab, text=None):
 
 
 # --------------------------------------------------------------------------
+# device-side n-best compaction for the second-pass path
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=64)
+def _jitted_compact(max_fin: int):
+    @jax.jit
+    def fn(fin_tokens, fin_lens, fin_scores):
+        finite = jnp.isfinite(fin_scores)                       # [B, cap]
+        # stable sort on (not finite): finite slots first, HARVEST ORDER
+        # preserved among them — finalize_beam's first-max-wins argmax and
+        # the reference's python max see the same slot sequence
+        order = jnp.argsort(jnp.where(finite, 0, 1), axis=1,
+                            stable=True)[:, :max_fin]
+        return (jnp.take_along_axis(fin_tokens, order[:, :, None], axis=1),
+                jnp.take_along_axis(fin_lens, order, axis=1),
+                jnp.take_along_axis(fin_scores, order, axis=1))
+    return fn
+
+
+def compact_nbest(res: BeamResult, bucket: int = 32) -> BeamResult:
+    """Gather the finite n-best slots into a dense [B, max_fin] prefix ON
+    DEVICE before the host transfer (VERDICT r2 item #8).
+
+    The slot-per-step buffers are mostly empty (fin_count <= k per
+    harvested step, most steps harvest none), yet the second-pass path
+    shipped all cap = k*max_len slots (~6.9 MB at B=128, bw=16 — ~140 ms
+    through the device tunnel).  Cost: one tiny fin_count transfer (the
+    caller should have started it async at dispatch time) + one gather.
+    Lossless: every finite slot is kept, in harvest order, so rescoring
+    winners are identical; max_fin is rounded up to ``bucket`` to bound
+    the number of compiled gather shapes."""
+    B, cap = res.fin_scores.shape
+    n = int(np.max(np.asarray(res.fin_count), initial=0))
+    max_fin = min(cap, -(-max(n, 1) // bucket) * bucket)
+    if max_fin >= cap:
+        return res
+    toks, lens, scores = _jitted_compact(max_fin)(
+        res.fin_tokens, res.fin_lens, res.fin_scores)
+    return res._replace(fin_tokens=toks, fin_lens=lens, fin_scores=scores)
+
+
+# --------------------------------------------------------------------------
 # host-side finalization (reference parse_finished_tensors model.py:708-765
 # + unfinished fallback model.py:961-972)
 # --------------------------------------------------------------------------

@@ -294,3 +294,44 @@ def test_pallas_env_toggle_retraces(monkeypatch):
     assert calls["pallas"] > 0              # toggle took effect
     np.testing.assert_array_equal(np.asarray(r0.fin_scores),
                                   np.asarray(r1.fin_scores))
+
+
+def test_compact_nbest_preserves_rescoring_winners(tmp_path):
+    """Device-side n-best compaction must be lossless: identical winners
+    and scores through finalize_beam, with and without a second-pass LM
+    (VERDICT r2 item #8)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lm_binary import ARPA_TRI
+    from chinese_asr_tpu.lm import ngram
+
+    arpa = tmp_path / "t.arpa"
+    arpa.write_text(ARPA_TRI, encoding="utf-8")
+    lm = ngram.NgramLM(str(arpa))
+    word2int = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    int2word = dict(enumerate(["<pad>", "<s>", "</s>", "<unk>"]))
+    for i in range(4, SMALL.vocab.vocab_size):
+        # alternate between in-LM words and OOV so rescoring mixes real
+        # n-gram hits with <unk> fallbacks
+        w = ("a", "b", f"w{i}")[i % 3]
+        word2int.setdefault(w, i)
+        int2word[i] = w
+    vocab = Vocab(word2int, int2word)
+
+    # seed chosen so several samples harvest finished hypotheses
+    params = las.init_params(jax.random.PRNGKey(9), SMALL)
+    feats, lens = make_inputs(SMALL, 3, B=3)
+    res = beam.beam_decode_jit(params, SMALL, 4, jnp.asarray(feats),
+                               jnp.asarray(lens))
+    assert int(np.asarray(res.fin_count).sum()) > 0, "need finished hyps"
+    compact = beam.compact_nbest(res, bucket=4)
+    assert compact.fin_scores.shape[1] < res.fin_scores.shape[1]
+    np.testing.assert_array_equal(np.asarray(compact.fin_count),
+                                  np.asarray(res.fin_count))
+
+    for kw in (dict(), dict(lm_model=lm, second_pass=True, lm_weight=1.5,
+                            length_weight=1.5)):
+        full = beam.finalize_beam(res, SMALL, vocab, **kw)
+        comp = beam.finalize_beam(compact, SMALL, vocab, **kw)
+        assert comp.pred_text == full.pred_text
+        np.testing.assert_allclose(comp.score, full.score, rtol=1e-6)
