@@ -23,6 +23,7 @@ fairseq-style flattened-beam search re-designed for XLA:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -46,10 +47,26 @@ class BeamResult(NamedTuple):
     l_final: jnp.ndarray        # scalar int32: reference's loop var at exit
 
 
+def beam_unroll() -> int:
+    """Decode steps fused per while_loop iteration (default 1).
+
+    MEASURED NEGATIVE RESULT (v5e, B=128, bw=16, 40 steps, full pipeline
+    incl. featurize + on-device select): unroll=1 107.2 ms/batch,
+    unroll=2 108.6, unroll=4 109.4 — all bit-identical outputs.  XLA's
+    while_loop evaluates cond on device, so there is no per-iteration
+    host dispatch to amortize (the lever PERF.md r2 hypothesized), and
+    the done-guard selects that keep early-stop semantics exact add ~1%.
+    The mechanism stays (CHINESE_ASR_BEAM_UNROLL=n) for future hardware
+    where loop overhead is real."""
+    return max(1, int(os.environ.get("CHINESE_ASR_BEAM_UNROLL", "1")))
+
+
 def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
-                use_pallas: bool = None) -> BeamResult:
+                use_pallas: bool = None, unroll: int = None) -> BeamResult:
     if use_pallas is None:
         use_pallas = pallas_topk.use_pallas_topk()
+    if unroll is None:
+        unroll = beam_unroll()
     B = feats.shape[0]
     k = bw
     V = cfg.vocab.vocab_size
@@ -206,7 +223,20 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
             fin_scores=fin_scores,
         )
 
-    s = jax.lax.while_loop(cond, body, state0)
+    def body_unrolled(s):
+        # each sub-step is guarded: once done (or past max_len) the
+        # remaining sub-steps of the pair are identities, reproducing the
+        # reference's break-before-update exactly (model.py:897-901) —
+        # the fin buffers, l, and survivors all stay frozen
+        for _ in range(unroll):
+            live = ~s["done"] & (s["l"] < max_len)
+            nxt = body(s)
+            s = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), nxt, s)
+        return s
+
+    s = jax.lax.while_loop(cond, body_unrolled if unroll > 1 else body,
+                           state0)
     # flatten the slot-per-step buffers to the packed [B, cap] contract:
     # cap index = slot*k + j (harvest order), slot index = hypothesis length
     fin_scores = s["fin_scores"].reshape(B, cap)
@@ -227,16 +257,17 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(cfg: Config, bw: int, use_pallas: bool):
-    # use_pallas is part of the cache key so flipping the
-    # CHINESE_ASR_PALLAS(_TOPK) env override after the first decode takes
-    # effect instead of replaying the previously traced kernel choice
+def _jitted(cfg: Config, bw: int, use_pallas: bool, unroll: int):
+    # use_pallas/unroll are part of the cache key so flipping the
+    # CHINESE_ASR_PALLAS(_TOPK) / CHINESE_ASR_BEAM_UNROLL env overrides
+    # after the first decode takes effect instead of replaying the
+    # previously traced choice
     return jax.jit(functools.partial(beam_decode, cfg=cfg, bw=bw,
-                                     use_pallas=use_pallas))
+                                     use_pallas=use_pallas, unroll=unroll))
 
 
 def beam_decode_jit(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
-    return _jitted(cfg, bw, pallas_topk.use_pallas_topk())(
+    return _jitted(cfg, bw, pallas_topk.use_pallas_topk(), beam_unroll())(
         params, feats=feats, feat_lens=feat_lens)
 
 
@@ -285,10 +316,10 @@ def select_best(res: BeamResult, length_weight: float) -> BestResult:
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_best(cfg: Config, bw: int, use_pallas: bool):
+def _jitted_best(cfg: Config, bw: int, use_pallas: bool, unroll: int):
     def fn(params, feats, feat_lens):
         res = beam_decode(params, cfg, bw, feats, feat_lens,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, unroll=unroll)
         return select_best(res, cfg.decode.length_weight)
     return jax.jit(fn)
 
@@ -297,8 +328,8 @@ def beam_decode_best_jit(params, cfg: Config, bw: int, feats,
                          feat_lens) -> BestResult:
     """Fused decode + on-device best-hypothesis selection (the fast path
     for transcription without second-pass rescoring)."""
-    return _jitted_best(cfg, bw, pallas_topk.use_pallas_topk())(
-        params, feats, feat_lens)
+    return _jitted_best(cfg, bw, pallas_topk.use_pallas_topk(),
+                        beam_unroll())(params, feats, feat_lens)
 
 
 def finalize_best(best: BestResult, vocab, text=None):

@@ -335,3 +335,21 @@ def test_compact_nbest_preserves_rescoring_winners(tmp_path):
         comp = beam.finalize_beam(compact, SMALL, vocab, **kw)
         assert comp.pred_text == full.pred_text
         np.testing.assert_allclose(comp.score, full.score, rtol=1e-6)
+
+
+@pytest.mark.parametrize("unroll", [2, 3])
+def test_unrolled_loop_identical_to_single_step(unroll):
+    """Fusing N decode steps per while iteration (the TPU loop-overhead
+    lever, PERF.md) must be bit-identical to the single-step loop,
+    including the n-best buffers, early-stop point, and live fallbacks —
+    on weights that DO trigger the early stop mid-pair."""
+    cfg = SMALL
+    feats, lens = make_inputs(cfg, 3, B=3)
+    for seed in (8, 9):        # seeds with non-empty harvests (incl. odd
+        params = las.init_params(jax.random.PRNGKey(seed), cfg)  # l_final)
+        r1 = beam.beam_decode(params, cfg, 4, jnp.asarray(feats),
+                              jnp.asarray(lens), unroll=1)
+        rn = beam.beam_decode(params, cfg, 4, jnp.asarray(feats),
+                              jnp.asarray(lens), unroll=unroll)
+        for a, b in zip(r1, rn):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

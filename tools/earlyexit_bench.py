@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--bw", type=int, default=16)
     ap.add_argument("--secs", type=float, default=10.0)
     ap.add_argument("--target-len", type=int, default=12)
+    ap.add_argument("--bf16", action="store_true",
+                    help="also compare bf16 vs f32 transcripts/scores")
     args = ap.parse_args()
 
     import functools
@@ -123,6 +125,37 @@ def main():
           lambda o: int(o[1]) + 1)
     bench(pipe_greedy, lambda o: np.asarray(o.scores), "greedy",
           lambda o: int(np.asarray(o.final_lens).max()) + 1)
+
+    if args.bf16:
+        # bf16 ACCURACY evidence on the flagship model (VERDICT r2 item
+        # #3): same wavs through the f32 and bf16 pipelines, transcript
+        # match rate + score drift (the numbers PERF.md quotes)
+        p16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
+        @jax.jit
+        def pipe_beam16(p, w, wl):
+            f, fl = features.featurize_batch(w, wl, cfg.audio)
+            res = beam.beam_decode(p, cfg, bw, f.astype(jnp.bfloat16), fl)
+            return beam.select_best(res, cfg.decode.length_weight)
+
+        b32 = pipe_beam(p, wavs, wlens)[0]
+        b16 = pipe_beam16(p16, wavs, wlens)
+        t32, l32 = np.asarray(b32.tokens), np.asarray(b32.lens)
+        t16, l16 = np.asarray(b16.tokens), np.asarray(b16.lens)
+        match = sum(
+            l32[i] == l16[i] and (t32[i, :l32[i]] == t16[i, :l16[i]]).all()
+            for i in range(B))
+        s32, s16 = np.asarray(b32.scores), np.asarray(b16.scores)
+        d = np.abs(s32 - s16)
+        print(f"bf16 vs f32 @ beam bw={bw}, B={B}: transcripts "
+              f"{match}/{B} identical, |score delta| mean={d.mean():.4f} "
+              f"max={d.max():.4f}, non-finite bf16 scores: "
+              f"{int((~np.isfinite(s16)).sum())}", flush=True)
+        bench(lambda _p, w, wl: pipe_beam16(p16, w, wl),
+              lambda o: np.asarray(o.scores),
+              f"beam bw={bw} bf16", lambda o: "-")
 
 
 if __name__ == "__main__":
