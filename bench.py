@@ -214,11 +214,27 @@ def main() -> None:
     rows.append(("offline_api_bw16", OFF, 16, audio_s / elapsed,
                  OFF * iters / elapsed, elapsed / iters))
 
+    # 5b: same config over the opt-in 8-bit mu-law wire (the offline path
+    # is upload-bound through the device tunnel; mu-law halves the wire
+    # bytes — transcript parity proven in tests/test_wire.py)
+    asr8 = ASR(cfg=cfg, bw=16, wire="mulaw")
+    asr8.params = params
+    asr8.vocab = asr.vocab
+    assert len(asr8.transcribe_wavs(wav_list, scales=scales)) == OFF
+
+    def api8_once():
+        assert len(asr8.transcribe_wavs(wav_list, scales=scales)) == OFF
+    iters, elapsed = _time_loop(api8_once, min_iters=2,
+                                min_secs=0.2 if smoke else 5.0)
+    audio_s = float(lens.sum()) / SR * iters
+    rows.append(("offline_api_bw16_mulaw", OFF, 16, audio_s / elapsed,
+                 OFF * iters / elapsed, elapsed / iters))
+
     print(f"# device={jax.devices()[0].platform}", file=sys.stderr)
-    print(f"# {'config':<20}{'B':>5}{'bw':>4}{'RTF':>12}"
+    print(f"# {'config':<23}{'B':>5}{'bw':>4}{'RTF':>12}"
           f"{'utts/s/chip':>14}{'s/batch':>10}", file=sys.stderr)
     for n, B, bw, rtf, ups, spb in rows:
-        print(f"# {n:<20}{B:>5}{bw:>4}{rtf:>12.1f}{ups:>14.2f}{spb:>10.3f}",
+        print(f"# {n:<23}{B:>5}{bw:>4}{rtf:>12.1f}{ups:>14.2f}{spb:>10.3f}",
               file=sys.stderr)
 
     print(json.dumps({

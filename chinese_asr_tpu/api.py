@@ -53,10 +53,20 @@ class ASR:
                  cfg: Optional[Config] = None,
                  vocab: Union[Vocab, str, None] = None,
                  wav_bucket: int = 16000,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 wire: str = "flat"):
+        """``wire`` picks the host->device wav upload format (the offline
+        batch path is upload-bound through the device tunnel, PERF.md):
+        "flat" (default) ships exactly sum(lens) PCM16 samples and expands
+        to the padded layout on device — lossless, bit-identical features;
+        "mulaw" additionally companders to 8-bit log-PCM (half the bytes;
+        ~38 dB SNR, transcript parity proven in tests/test_wire.py);
+        "padded" is the legacy zero-padded [B, N] matrix."""
+        assert wire in ("flat", "mulaw", "padded"), wire
         self.cfg = cfg or Config()
         self.bw = bw
         self.wav_bucket = wav_bucket
+        self.wire = wire
         self.compute_dtype = jnp.dtype(compute_dtype)
         # LM only loads for beam widths > 1 (main.py:78-84)
         self.lm = ngram.load_lm(lm_path) if (lm_path and bw and bw > 1) else None
@@ -136,6 +146,69 @@ class ASR:
         mat, lens, sc = prep
         return jnp.asarray(mat), jnp.asarray(lens), jnp.asarray(sc)
 
+    # ---- flat / mu-law wire (see features.unpack_flat) ----------------------
+    def _prep_flat(self, wavs: List[np.ndarray], scales=None):
+        """Concatenate wavs into one flat wire buffer: no padding bytes on
+        the wire; optional 8-bit mu-law companding."""
+        from .audio import features as F
+        from .data.dataset import round_up
+        wavs = [self._as_wav(w) for w in wavs]
+        lens = np.array([len(w) for w in wavs], np.int32)
+        N = round_up(max(1, int(lens.max())), self.wav_bucket)
+        total = int(lens.sum())
+        # flat length bucketed so the jitted unpack program is reused
+        Ltot = round_up(max(1, total), 8 * self.wav_bucket)
+        all_i16 = all(w.dtype == np.int16 for w in wavs)
+        if all_i16 and self.wire == "mulaw":
+            flat = np.zeros(Ltot, np.uint8)
+            pos = 0
+            for w in wavs:
+                flat[pos: pos + len(w)] = F.mulaw_encode_i16(w)
+                pos += len(w)
+        elif all_i16:
+            flat = np.zeros(Ltot, np.int16)
+            pos = 0
+            for w in wavs:
+                flat[pos: pos + len(w)] = w
+                pos += len(w)
+        else:
+            # a float wav in the batch: f32 wire (mu-law needs int16)
+            flat = np.zeros(Ltot, np.float32)
+            pos = 0
+            for w in wavs:
+                flat[pos: pos + len(w)] = (
+                    w.astype(np.float32) / 32768.0
+                    if w.dtype == np.int16 else w)
+                pos += len(w)
+        sc = (np.ones(len(wavs), np.float32) if scales is None
+              else np.asarray(scales, np.float32))
+        # lens and scales ride ONE array: each tunnel transfer pays
+        # ~25-30 ms fixed latency regardless of size (lens < 2^24 are
+        # exact in f32)
+        meta = np.stack([lens.astype(np.float32), sc])
+        return flat, meta, N
+
+    @staticmethod
+    def _upload_flat(prep):
+        flat, meta, N = prep
+        return jnp.asarray(flat), jnp.asarray(meta), N
+
+    def _featurize_flat_device(self, flat_d, meta_d, N: int):
+        from .audio import features as F
+        key = ("flat", flat_d.shape[0], str(flat_d.dtype),
+               meta_d.shape[1], N)
+        fn = self._feat_fns.get(key)
+        if fn is None:
+            cfg = self.cfg.audio
+            fn = jax.jit(lambda f, m, : F.featurize_flat(
+                f, m[0].astype(jnp.int32), N, cfg, norm_eps=1e-6,
+                scale=m[1]))
+            self._feat_fns[key] = fn
+        feats, feat_lens = fn(flat_d, meta_d)
+        if self.compute_dtype != jnp.float32:
+            feats = feats.astype(self.compute_dtype)
+        return feats, jnp.maximum(feat_lens, 1)
+
     def _featurize_device(self, mat_d, lens_d, sc_d):
         N = mat_d.shape[1]
         fn = self._feat_fns.get(N)
@@ -162,6 +235,12 @@ class ASR:
         normalization of raw PCM16."""
         if not wavs:
             return []
+        if self.wire == "padded":
+            prep_host, upload = self._prep_host, self._upload
+            featurize = lambda dev: self._featurize_device(*dev)  # noqa: E731
+        else:
+            prep_host, upload = self._prep_flat, self._upload_flat
+            featurize = lambda dev: self._featurize_flat_device(*dev)  # noqa: E731
         if len(wavs) > max_batch:
             # length-sort before chunking (restore order after): mixed-length
             # batches otherwise pad every chunk to the global max, wasting
@@ -175,20 +254,23 @@ class ASR:
                       for s in range(0, len(order), max_batch)]
 
             def prep(idx):     # one chunk at a time: peak host memory
-                return self._prep_host(    # stays O(chunk), not O(corpus)
+                return prep_host(          # stays O(chunk), not O(corpus)
                     [wavs[i] for i in idx],
                     None if scales is None else [scales[i] for i in idx])
 
             out: List[str] = [""] * len(wavs)
-            dev = self._upload(prep(chunks[0]))
+            dev = upload(prep(chunks[0]))
             pend = None     # (chunk indices, in-flight device result)
             for c, idx in enumerate(chunks):
-                cur, dev = dev, (self._upload(prep(chunks[c + 1]))
-                                 if c + 1 < len(chunks) else None)
-                # dispatch chunk c's device work BEFORE blocking on chunk
-                # c-1's host finalization: the device decodes chunk c while
-                # the host detokenizes c-1 (and chunk c+1 uploads)
-                res = self._decode_dispatch(self._featurize_device(*cur))
+                # dispatch chunk c's device work FIRST: uploads through
+                # the device tunnel BLOCK the host, so the next chunk's
+                # upload (and chunk c-1's host finalization) must happen
+                # while the device is already decoding chunk c — the old
+                # upload-then-dispatch order serialized the entire upload
+                # ahead of the decode (measured in tools/offline_split.py)
+                res = self._decode_dispatch(featurize(dev))
+                dev = (upload(prep(chunks[c + 1]))
+                       if c + 1 < len(chunks) else None)
                 if pend is not None:
                     for i, t in zip(pend[0], self._decode_finalize(pend[1])):
                         out[i] = t
@@ -196,8 +278,8 @@ class ASR:
             for i, t in zip(pend[0], self._decode_finalize(pend[1])):
                 out[i] = t
             return out
-        return self._decode_batch(self._featurize_device(
-            *self._upload(self._prep_host(list(wavs), scales))))
+        return self._decode_batch(featurize(
+            upload(prep_host(list(wavs), scales))))
 
     def _decode_dispatch(self, featurized):
         """Launch the device decode; returns the in-flight device result."""
