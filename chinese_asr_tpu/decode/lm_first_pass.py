@@ -150,19 +150,36 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
                 lm.score_batch(sents, bos=False, eos=False)
             ).reshape(B * k, topn)
 
-        scores = np.full((B * k, V), -np.inf)
-        np.put_along_axis(scores, top_tokens, lm_scores, axis=1)
-        scores = scores.reshape(B, k * V)
-        if l == 0:
-            scores = scores[:, :V]                       # beams identical
-
-        # step 0 truncates to V columns, so fewer than 2k candidates may
-        # exist when 2k > V (e.g. bw=16 with a tiny test vocab)
-        ncand = min(cand, scores.shape[1])
-        cand_idx = np.argsort(-scores, axis=1)[:, :ncand]
-        cand_scores = np.take_along_axis(scores, cand_idx, axis=1)
-        cand_beams = cand_idx // V
-        cand_toks = cand_idx % V
+        # candidate selection over the POOL of real proposals (k*topn per
+        # sample), not a dense [B, k*V] matrix — the dense fill (~80 MB)
+        # plus a full 1.3M-element argsort per step was the actual
+        # first-pass-LM bottleneck on TPU (measured ~120 ms/step of pure
+        # host work).  Order: score desc, then (beam, token) asc — the
+        # only well-defined part of the reference's torch.topk order
+        # (every non-proposal is -inf there and never becomes a real
+        # candidate here)
+        pool_sc = lm_scores.reshape(B, k * topn)
+        pool_tok = top_tokens.reshape(B, k * topn)
+        pool_beam = np.repeat(np.arange(k, dtype=np.int64), topn)[None, :]
+        if l == 0:                                   # beams identical
+            pool_sc = pool_sc[:, :topn]
+            pool_tok = pool_tok[:, :topn]
+            pool_beam = pool_beam[:, :topn]
+        pw = pool_sc.shape[1]
+        ncand = min(cand, pw)
+        pool_col = pool_beam * V + pool_tok          # dense-col identity
+        if pw > ncand:
+            part = np.argpartition(-pool_sc, ncand - 1, axis=1)[:, :ncand]
+        else:
+            part = np.broadcast_to(np.arange(pw), (B, pw))
+        ps = np.take_along_axis(pool_sc, part, axis=1)
+        pc = np.take_along_axis(pool_col, part, axis=1)
+        order = np.lexsort((pc, -ps), axis=-1)
+        sel_p = np.take_along_axis(part, order, axis=1)
+        cand_scores = np.take_along_axis(pool_sc, sel_p, axis=1)
+        cand_beams = np.take_along_axis(
+            np.broadcast_to(pool_beam, pool_sc.shape), sel_p, axis=1)
+        cand_toks = np.take_along_axis(pool_tok, sel_p, axis=1)
 
         # ---- survivors first (vectorized), so the next step dispatches
         # before any per-sample python work -----------------------------

@@ -150,3 +150,21 @@ def test_bw_exceeding_vocab_at_step0(tmp_path):
                                              lm, vocab, topn=10)
     assert len(res) == 2
     assert all(len(hyps) >= 1 for hyps in res)
+
+
+def test_no_fake_candidates_at_small_topn(tmp_path):
+    """Pool-based candidate selection (round 3): with topn < 2k the old
+    dense [B, k*V] path could promote -inf filler entries (pad/sos
+    tokens) into the beam at step 0.  Only REAL acoustic proposals may
+    ever appear in hypotheses."""
+    cfg = SMALL
+    vocab = make_vocab()
+    lm = arpa(tmp_path, -0.5)
+    params = las.init_params(jax.random.PRNGKey(1), cfg)
+    feats, lens = inputs(cfg)
+    nbest = lm_first_pass.lm_first_pass_decode(
+        params, cfg, 4, feats, lens, lm, vocab, topn=3)   # topn << 2k=8
+    for hyps in nbest:
+        for toks, score in hyps:
+            assert np.isfinite(score)
+            assert cfg.vocab.pad not in toks and cfg.vocab.sos not in toks
