@@ -497,9 +497,22 @@ BinModel* load_binary(FILE* f, long file_size) {
     return nullptr;
   }
   m->order = order;
+  if (size_t(file_size) < header_size(order) + align8(kVocabHeaderSize)) {
+    set_error("kenlm binary truncated inside the header");
+    return nullptr;
+  }
   const char* cp = p + kSanitySize + kFixedParamsSize;
-  for (int i = 0; i < order; ++i)
+  for (int i = 0; i < order; ++i) {
     std::memcpy(&m->counts[i], cp + 8 * i, 8);
+    // sanity before any bucket arithmetic: a corrupt count must fail
+    // cleanly, not overflow size_t into out-of-bounds table pointers
+    // (file_size/12 bounds any real entry count)
+    if (m->counts[i] > uint64_t(file_size) / 12 + 1) {
+      set_error("kenlm binary corrupt: ngram count " +
+                std::to_string(m->counts[i]) + " exceeds file capacity");
+      return nullptr;
+    }
+  }
 
   size_t off = header_size(order);
   // vocab: {u64 version, u64 bound} header + probing table

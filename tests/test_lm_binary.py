@@ -228,3 +228,25 @@ def test_second_pass_rescoring_with_binary_lm(tmp_path):
 
 class _FakeVocab:
     int2word = {0: "<pad>", 1: "<s>", 2: "</s>", 3: "<unk>", 4: "a", 5: "b"}
+
+
+def test_corrupt_binaries_fail_cleanly(tmp_path):
+    """Truncations and corrupt counts must raise ValueError through the
+    C ABI — never crash or read out of bounds."""
+    _, _, klm = _roundtrip(tmp_path, ARPA_TRI, "tri")
+    raw = open(klm, "rb").read()
+    rng = np.random.RandomState(0)
+    cases = []
+    for cut in (60, 100, 120, 140, 200, len(raw) - 9):
+        cases.append(raw[:cut])                       # truncations
+    big = bytearray(raw)
+    struct.pack_into("<Q", big, 108, 2**48)           # absurd 1-gram count
+    cases.append(bytes(big))
+    neg = bytearray(raw)
+    struct.pack_into("<Q", neg, 116, 2**63)           # absurd 2-gram count
+    cases.append(bytes(neg))
+    for n, payload in enumerate(cases):
+        bad = tmp_path / f"bad{n}.klm"
+        bad.write_bytes(payload)
+        with pytest.raises(ValueError):
+            ngram.NgramLM(str(bad))
