@@ -54,14 +54,22 @@ class ASR:
                  vocab: Union[Vocab, str, None] = None,
                  wav_bucket: int = 16000,
                  compute_dtype: str = "float32",
-                 wire: str = "flat"):
+                 wire: str = "flat",
+                 mesh=None):
         """``wire`` picks the host->device wav upload format (the offline
         batch path is upload-bound through the device tunnel, PERF.md):
         "flat" (default) ships exactly sum(lens) PCM16 samples and expands
         to the padded layout on device — lossless, bit-identical features;
         "mulaw" additionally companders to 8-bit log-PCM (half the bytes;
         ~38 dB SNR, transcript parity proven in tests/test_wire.py);
-        "padded" is the legacy zero-padded [B, N] matrix."""
+        "padded" is the legacy zero-padded [B, N] matrix.
+
+        ``mesh`` (a ``jax.sharding.Mesh`` from ``parallel.sharding
+        .make_mesh``, or the string "auto" for all local devices) serves
+        the decode over a multi-chip (data x model) SPMD mesh: the batch
+        and flattened-beam dims shard across the data axis, the
+        embedding/projection vocab dim across the model axis, and batch
+        chunks are padded up to a multiple of the data-axis size."""
         assert wire in ("flat", "mulaw", "padded"), wire
         self.cfg = cfg or Config()
         self.bw = bw
@@ -101,7 +109,39 @@ class ASR:
                 lambda x: x.astype(self.compute_dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, self.params)
 
+        self.mesh = None
+        self._sharded = {}
+        if mesh is not None:
+            from .parallel import sharding
+            if mesh == "auto":
+                mesh = sharding.make_mesh(self.cfg)
+            self.mesh = mesh
+            self.params = sharding.shard_params(self.params, self.cfg, mesh)
+
         self._feat_fns = {}
+
+    @property
+    def _dp(self) -> int:
+        """Data-axis size: serving batches pad up to a multiple of it."""
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape[self.cfg.mesh.data_axis]
+
+    def _sharded_fn(self, kind: str):
+        fn = self._sharded.get(kind)
+        if fn is None:
+            from .parallel import sharding
+            if kind == "greedy":
+                fn = sharding.make_sharded_greedy(self.cfg, self.params,
+                                                  self.mesh)
+            elif kind == "beam_best":
+                fn = sharding.make_sharded_beam_best(self.cfg, self.bw,
+                                                     self.params, self.mesh)
+            else:
+                fn = sharding.make_sharded_beam(self.cfg, self.bw,
+                                                self.params, self.mesh)
+            self._sharded[kind] = fn
+        return fn
 
     @staticmethod
     def _is_torch_ckpt(path: str) -> bool:
@@ -156,6 +196,12 @@ class ASR:
         lens = np.array([len(w) for w in wavs], np.int32)
         N = round_up(max(1, int(lens.max())), self.wav_bucket)
         total = int(lens.sum())
+        # device-side row offsets are int32 cumsums; a >2^31-sample call
+        # must be split by the caller (transcribe_wavs chunks at
+        # max_batch, so this only triggers on absurd explicit batches)
+        assert total < 2 ** 31, \
+            f"flat wire: {total} samples overflow int32 offsets; lower " \
+            f"max_batch"
         # flat length bucketed so the jitted unpack program is reused
         Ltot = round_up(max(1, total), 8 * self.wav_bucket)
         all_i16 = all(w.dtype == np.int16 for w in wavs)
@@ -235,6 +281,21 @@ class ASR:
         normalization of raw PCM16."""
         if not wavs:
             return []
+        wavs = list(wavs)
+        n_real = len(wavs)
+        if self._dp > 1:
+            # mesh serving: every decode batch must split evenly over the
+            # data axis — clamp max_batch to a multiple of dp and pad the
+            # call with dummy wavs (their transcripts are dropped below)
+            dp = self._dp
+            max_batch = max(dp, max_batch - max_batch % dp)
+            pad = (-n_real) % dp
+            if pad:
+                dt = np.asarray(wavs[0]).dtype
+                dt = np.int16 if np.issubdtype(dt, np.integer) else dt
+                wavs = wavs + [np.zeros(1, dt)] * pad
+                if scales is not None:
+                    scales = list(scales) + [1.0] * pad
         if self.wire == "padded":
             prep_host, upload = self._prep_host, self._upload
             featurize = lambda dev: self._featurize_device(*dev)  # noqa: E731
@@ -277,13 +338,26 @@ class ASR:
                 pend = (idx, res)
             for i, t in zip(pend[0], self._decode_finalize(pend[1])):
                 out[i] = t
-            return out
+            return out[:n_real]
         return self._decode_batch(featurize(
-            upload(prep_host(list(wavs), scales))))
+            upload(prep_host(wavs, scales))))[:n_real]
 
     def _decode_dispatch(self, featurized):
         """Launch the device decode; returns the in-flight device result."""
         feats, feat_lens = featurized
+        if self.mesh is not None:
+            if not self.bw or self.bw <= 1:
+                return self._sharded_fn("greedy")(self.params, feats,
+                                                  feat_lens)
+            if self.lm is None:
+                return self._sharded_fn("beam_best")(self.params, feats,
+                                                     feat_lens)
+            res = self._sharded_fn("beam")(self.params, feats, feat_lens)
+            try:
+                res.fin_count.copy_to_host_async()
+            except AttributeError:
+                pass
+            return res
         if not self.bw or self.bw <= 1:
             return greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                 feats, feat_lens)

@@ -139,3 +139,19 @@ def make_sharded_beam(cfg: Config, bw: int, params, mesh: Mesh):
         return beam_mod.beam_decode(params, cfg, bw, feats, feat_lens)
 
     return jax.jit(fn, in_shardings=(psh, d, d))
+
+
+def make_sharded_beam_best(cfg: Config, bw: int, params, mesh: Mesh):
+    """Sharded fused decode + on-device best selection — the serving fast
+    path (api._decode_dispatch) on a mesh: only [B, max_len] rows leave
+    the devices."""
+    from ..decode import beam as beam_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    d = NamedSharding(mesh, P(cfg.mesh.data_axis))
+
+    def fn(params, feats, feat_lens):
+        res = beam_mod.beam_decode(params, cfg, bw, feats, feat_lens)
+        return beam_mod.select_best(res, cfg.decode.length_weight)
+
+    return jax.jit(fn, in_shardings=(psh, d, d))

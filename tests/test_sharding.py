@@ -117,3 +117,50 @@ def test_trainer_on_mesh(tmp_path):
 
     tv = tr.fit(loader, None, max_steps=3)
     assert tv.step == 3 and np.isfinite(tv.loss)
+
+
+def test_asr_api_serves_over_mesh():
+    """ASR(mesh=...) routes greedy/beam decode through the sharded SPMD
+    programs with identical transcripts, including batch sizes that do
+    not divide the data axis (padded + trimmed) and the chunked path."""
+    from chinese_asr_tpu.api import ASR, _identity_vocab
+
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    rng = np.random.RandomState(0)
+    wavs = [(rng.randn(n) * 6000).clip(-32768, 32767).astype(np.int16)
+            for n in (1700, 900, 2400, 1300, 800, 2000, 1500, 600, 1100)]
+
+    for bw in (None, 2):
+        a1 = ASR(cfg=cfg, bw=bw, vocab=_identity_vocab(cfg.vocab.vocab_size),
+                 wav_bucket=800)
+        am = ASR(cfg=cfg, bw=bw, vocab=_identity_vocab(cfg.vocab.vocab_size),
+                 wav_bucket=800, mesh=mesh)
+        t1 = a1.transcribe_wavs(wavs)                   # single batch
+        tm = am.transcribe_wavs(wavs)                   # padded to dp=4
+        assert tm == t1, f"bw={bw}"
+        t1c = a1.transcribe_wavs(wavs, max_batch=4)     # chunked
+        tmc = am.transcribe_wavs(wavs, max_batch=5)     # clamped to 4
+        assert tmc == t1c, f"bw={bw} chunked"
+
+
+def test_asr_api_mesh_with_second_pass(tmp_path):
+    """Mesh serving through the LM path: sharded full-result beam decode,
+    device-side n-best compaction, host rescoring — same transcripts."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lm_binary import ARPA_TRI
+    from chinese_asr_tpu.api import ASR, _identity_vocab
+
+    arpa = tmp_path / "t.arpa"
+    arpa.write_text(ARPA_TRI, encoding="utf-8")
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    rng = np.random.RandomState(1)
+    wavs = [(rng.randn(n) * 6000).clip(-32768, 32767).astype(np.int16)
+            for n in (1500, 900, 1900, 700, 1200)]
+    kw = dict(cfg=cfg, bw=2, lm_path=str(arpa), wav_bucket=800,
+              vocab=_identity_vocab(cfg.vocab.vocab_size))
+    t1 = ASR(**kw).transcribe_wavs(wavs)
+    tm = ASR(mesh=mesh, **kw).transcribe_wavs(wavs)
+    assert tm == t1
