@@ -62,11 +62,14 @@ def beam_unroll() -> int:
 
 
 def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
-                use_pallas: bool = None, unroll: int = None) -> BeamResult:
+                use_pallas: bool = None, unroll: int = None,
+                fused_logp: bool = None) -> BeamResult:
     if use_pallas is None:
         use_pallas = pallas_topk.use_pallas_topk()
     if unroll is None:
         unroll = beam_unroll()
+    if fused_logp is None:
+        fused_logp = pallas_topk.use_fused_logp()
     B = feats.shape[0]
     k = bw
     V = cfg.vocab.vocab_size
@@ -121,15 +124,6 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
             eb.mask, eb.keys, eb.values, tokens, s["cell_state"],
             s["attn_hidden"])
 
-        logit = out.logit.astype(jnp.float32) / cfg.decoder.temperature
-        logp = logit - jax.scipy.special.logsumexp(logit, axis=1, keepdims=True)
-        logp = logp + s["logp_scores"][:, None]                       # [B*k, V]
-        s3 = logp.reshape(B, k, V)
-
-        # step 0: all beams identical -> restrict to beam 0's vocab slice
-        beam_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
-        s3 = jnp.where((l == 0) & (beam_iota > 0), -jnp.inf, s3)
-
         # two-stage exact top-2k over [B, k*V]: per-beam top-(k+1), then
         # top-2k of the union.  k+1 per beam is sufficient for everything
         # the loop consumes — the top-k harvest and the first k non-eos
@@ -138,14 +132,41 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         # top-(k+1).  Tie order matches the flat top_k (lower beam, then
         # lower token).  Measured >13% faster end-to-end than a flat
         # top_k over k*V lanes on v5e at B=64, k=16.
-        # Stage 1 backend: the fused Pallas kernel (one HBM stream + k+1
-        # VMEM argmax passes) on TPU — approx_max_k's partial-reduce
-        # custom call was 0.67 ms/step, >half the whole beam step;
-        # elsewhere approx_max_k with recall_target=1.0 (the exact-top-k
-        # lowering; a full-sort lax.top_k was 91% of the loop on v5e).
-        if use_pallas:
+        # Stage 1 backend on TPU: the FUSED Pallas kernel — the whole
+        # logit/T - logsumexp + score transform happens on the
+        # VMEM-resident block (the [B*k, V] logp array is never
+        # materialized; saves ~150 us/step of HBM traffic at B=128,
+        # bw=16) followed by threshold-exclusion extraction.  Elsewhere:
+        # the XLA transform + approx_max_k with recall_target=1.0 (the
+        # exact-top-k lowering; a full-sort lax.top_k was 91% of the
+        # loop on v5e).  Step 0 (all beams identical) disables beams > 0
+        # via a -inf row bias / -inf row fill.
+        if use_pallas and fused_logp:
+            # rows are beam-major: row r = b*k + kk
+            kk_iota = jax.lax.broadcasted_iota(jnp.int32, (B * k, 1), 0) % k
+            bias = jnp.where((l == 0) & (kk_iota > 0), -jnp.inf,
+                             s["logp_scores"][:, None])
+            v1, t1 = pallas_topk.top_k_fused(
+                out.logit.astype(jnp.float32), bias, k + 1,
+                cfg.decoder.temperature)
+        elif use_pallas:
+            logit = out.logit.astype(jnp.float32) / cfg.decoder.temperature
+            logp = logit - jax.scipy.special.logsumexp(logit, axis=1,
+                                                       keepdims=True)
+            logp = logp + s["logp_scores"][:, None]           # [B*k, V]
+            s3 = logp.reshape(B, k, V)
+            beam_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+            s3 = jnp.where((l == 0) & (beam_iota > 0), -jnp.inf, s3)
             v1, t1 = pallas_topk.top_k(s3.reshape(B * k, V), k + 1)
         else:
+            logit = out.logit.astype(jnp.float32) / cfg.decoder.temperature
+            logp = logit - jax.scipy.special.logsumexp(logit, axis=1,
+                                                       keepdims=True)
+            logp = logp + s["logp_scores"][:, None]           # [B*k, V]
+            s3 = logp.reshape(B, k, V)
+            # step 0: all beams identical -> beam 0's vocab slice only
+            beam_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+            s3 = jnp.where((l == 0) & (beam_iota > 0), -jnp.inf, s3)
             v1, t1 = jax.lax.approx_max_k(
                 s3.reshape(B * k, V), k + 1, recall_target=1.0)
         v1 = v1.reshape(B, k, k + 1)
@@ -257,17 +278,20 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(cfg: Config, bw: int, use_pallas: bool, unroll: int):
-    # use_pallas/unroll are part of the cache key so flipping the
-    # CHINESE_ASR_PALLAS(_TOPK) / CHINESE_ASR_BEAM_UNROLL env overrides
-    # after the first decode takes effect instead of replaying the
-    # previously traced choice
+def _jitted(cfg: Config, bw: int, use_pallas: bool, unroll: int,
+            fused_logp: bool):
+    # use_pallas/unroll/fused_logp are part of the cache key so flipping
+    # the CHINESE_ASR_PALLAS(_TOPK/_FUSED) / CHINESE_ASR_BEAM_UNROLL env
+    # overrides after the first decode takes effect instead of replaying
+    # the previously traced choice
     return jax.jit(functools.partial(beam_decode, cfg=cfg, bw=bw,
-                                     use_pallas=use_pallas, unroll=unroll))
+                                     use_pallas=use_pallas, unroll=unroll,
+                                     fused_logp=fused_logp))
 
 
 def beam_decode_jit(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
-    return _jitted(cfg, bw, pallas_topk.use_pallas_topk(), beam_unroll())(
+    return _jitted(cfg, bw, pallas_topk.use_pallas_topk(), beam_unroll(),
+                   pallas_topk.use_fused_logp())(
         params, feats=feats, feat_lens=feat_lens)
 
 
@@ -316,10 +340,12 @@ def select_best(res: BeamResult, length_weight: float) -> BestResult:
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_best(cfg: Config, bw: int, use_pallas: bool, unroll: int):
+def _jitted_best(cfg: Config, bw: int, use_pallas: bool, unroll: int,
+                 fused_logp: bool):
     def fn(params, feats, feat_lens):
         res = beam_decode(params, cfg, bw, feats, feat_lens,
-                          use_pallas=use_pallas, unroll=unroll)
+                          use_pallas=use_pallas, unroll=unroll,
+                          fused_logp=fused_logp)
         return select_best(res, cfg.decode.length_weight)
     return jax.jit(fn)
 
@@ -329,7 +355,8 @@ def beam_decode_best_jit(params, cfg: Config, bw: int, feats,
     """Fused decode + on-device best-hypothesis selection (the fast path
     for transcription without second-pass rescoring)."""
     return _jitted_best(cfg, bw, pallas_topk.use_pallas_topk(),
-                        beam_unroll())(params, feats, feat_lens)
+                        beam_unroll(), pallas_topk.use_fused_logp())(
+        params, feats, feat_lens)
 
 
 def finalize_best(best: BestResult, vocab, text=None):

@@ -38,11 +38,12 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
     the last extracted (value v, col i): since extraction is in exact
     descending (value, then ascending col) order, an element is already
     taken iff key > v, or key == v and col <= i.  Each pass is then ONE
-    elementwise compare-sweep feeding a fused max+argmax — ~2x less VMEM
-    traffic than the taken-mask formulation.
+    elementwise compare-sweep feeding two fused reduces (max, then
+    first-hit-among-non-excluded col) — ~2x less VMEM traffic than the
+    taken-mask formulation.
 
-    Tie order: argmax returns the FIRST maximum, i.e. lower col — exactly
-    jax.lax.top_k.  NaN ranks ABOVE +inf via key=+inf (lax.top_k's total
+    Tie order: the index reduce takes the FIRST maximum among
+    non-excluded cols, i.e. lower col — exactly jax.lax.top_k.  NaN ranks ABOVE +inf via key=+inf (lax.top_k's total
     order); the reported value maps +inf back to NaN, so a legitimate
     +inf input would read as NaN — unreachable from logp inputs.
     Padding cols carry key=-inf at the HIGHEST cols, so they lose every
@@ -55,15 +56,21 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
     pos_inf = jnp.float32(jnp.inf)
     key = jnp.where(col >= n_valid, neg_inf,
                     jnp.where(jnp.isnan(x), pos_inf, x))
-    v = jnp.full((BR,), pos_inf, jnp.float32)   # nothing extracted yet:
-    i = jnp.full((BR,), -1, jnp.int32)          # (+inf, col -1) excludes
-    for j in range(k):                          # only cols <= -1 = none
-        excl = (key > v[:, None]) | ((key == v[:, None]) & (col <= i[:, None]))
-        kj = jnp.where(excl, neg_inf, key)
-        i = jnp.argmax(kj, axis=1).astype(jnp.int32)         # first max
-        v = jnp.max(kj, axis=1)
-        vals_ref[:, j] = jnp.where(v == pos_inf, jnp.float32(jnp.nan), v)
-        idx_ref[:, j] = i
+    v = jnp.full((BR, 1), pos_inf, jnp.float32)  # nothing extracted yet:
+    i = jnp.full((BR, 1), -1, jnp.int32)         # (+inf, col -1) excludes
+    for j in range(k):                           # only cols <= -1 = none
+        excl = (key > v) | ((key == v) & (col <= i))
+        m = jnp.max(jnp.where(excl, neg_inf, key), axis=1, keepdims=True)
+        # first max AMONG NON-EXCLUDED cols: on all--inf rows the -inf
+        # "excluded" sentinel ties with real -inf values, so the index
+        # must come from the exclusion mask, not from argmax of the
+        # masked array (which would re-pick col 0 forever)
+        i = jnp.min(jnp.where((key == m) & ~excl, col, Vp), axis=1,
+                    keepdims=True)
+        v = m
+        vals_ref[:, j] = jnp.where(v == pos_inf, jnp.float32(jnp.nan),
+                                   v)[:, 0]
+        idx_ref[:, j] = i[:, 0]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -104,6 +111,16 @@ def top_k(x, k: int, interpret: bool = False):
     return _top_k_impl(x, k, interpret)
 
 
+def use_fused_logp() -> bool:
+    """Opt-in: fold the logit/T - logsumexp + score transform into the
+    top-k kernel (top_k_fused).  Saves the [B*k, V] logp materialization
+    (~150 us/step HBM at B=128, bw=16) but computes the logsumexp with
+    Mosaic's reduction order, which can flip near-tied beam survivors
+    relative to the XLA transform — the default keeps stage-1 selection
+    bit-identical to the XLA path.  CHINESE_ASR_PALLAS_FUSED=1 enables."""
+    return os.environ.get("CHINESE_ASR_PALLAS_FUSED", "0") != "0"
+
+
 def use_pallas_topk() -> bool:
     """Same policy as the featurizer kernel: on for TPU backends, off
     elsewhere.  CHINESE_ASR_PALLAS_TOPK=0/1 overrides just this kernel;
@@ -113,3 +130,98 @@ def use_pallas_topk() -> bool:
     if flag is not None:
         return flag != "0"
     return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------
+# fused logp + top-k for the beam loop's stage-1 selection
+# --------------------------------------------------------------------------
+def _fused_kernel(x_ref, bias_ref, vals_ref, idx_ref, *, k: int,
+                  n_valid: int, inv_temp_is_div: float):
+    """key = x / T - logsumexp(x / T) + bias, then exact top-k extraction.
+
+    Same selection semantics as running the XLA logp transform and then
+    `_kernel` — but the [R, V] logp array is never materialized in HBM
+    and the logsumexp reduce happens on the VMEM-resident block (the XLA
+    chain costs a matmul write + reduce read + elementwise read/write +
+    kernel read of ~41 MB each per decode step at B=128, bw=16).
+
+    The division by T uses the same IEEE f32 divide as the XLA path; the
+    only numerical difference is the logsumexp reduction order, which on
+    near-exact ties can pick a different (equally-scored) candidate —
+    backends already differ from each other the same way.
+    """
+    T = inv_temp_is_div
+    x = x_ref[...].astype(jnp.float32) / jnp.float32(T)      # [BR, Vp]
+    bias = bias_ref[...].astype(jnp.float32)                 # [BR, 1]
+    BR, Vp = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (BR, Vp), 1)
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+    valid = col < n_valid
+    xv = jnp.where(valid, x, neg_inf)
+    m = jnp.max(xv, axis=1, keepdims=True)                   # [BR, 1]
+    s = jnp.sum(jnp.where(valid, jnp.exp(x - m), 0.0), axis=1,
+                keepdims=True)
+    lse = m + jnp.log(s)
+    key = jnp.where(valid, jnp.where(jnp.isnan(x), pos_inf,
+                                     x - lse + bias), neg_inf)
+    # a NaN lse (NaN logit anywhere in the row) poisons the whole row in
+    # the XLA path too; rank those entries first like plain NaN scores
+    key = jnp.where(jnp.isnan(key), pos_inf, key)
+    # rows DISABLED via a -inf bias (the beam's step-0 duplicate beams)
+    # stay -inf even when their logits hold NaN — the XLA path's -inf
+    # mask is applied after the NaN-producing transform and wins there
+    key = jnp.where(jnp.isneginf(bias), neg_inf, key)
+    v = jnp.full((BR, 1), pos_inf, jnp.float32)
+    i = jnp.full((BR, 1), -1, jnp.int32)
+    for j in range(k):
+        excl = (key > v) | ((key == v) & (col <= i))
+        m = jnp.max(jnp.where(excl, neg_inf, key), axis=1, keepdims=True)
+        i = jnp.min(jnp.where((key == m) & ~excl, col, Vp), axis=1,
+                    keepdims=True)           # first max among non-excluded
+        v = m
+        vals_ref[:, j] = jnp.where(v == pos_inf, jnp.float32(jnp.nan),
+                                   v)[:, 0]
+        idx_ref[:, j] = i[:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool):
+    R, V = x.shape
+    Vp = -(-V // 128) * 128
+    if V < Vp:
+        x = jnp.pad(x, ((0, 0), (0, Vp - V)), constant_values=NEG_INF)
+    Rp = R
+    if R > 128 and R % 128 != 0:
+        Rp = -(-R // 128) * 128
+        x = jnp.pad(x, ((0, Rp - R), (0, 0)), constant_values=NEG_INF)
+        bias = jnp.pad(bias, ((0, Rp - R), (0, 0)))
+    BR = 128 if Rp % 128 == 0 else Rp
+    grid = (Rp // BR,)
+    vals, idx = pl.pallas_call(
+        functools.partial(_fused_kernel, k=k, n_valid=V,
+                          inv_temp_is_div=temp),
+        grid=grid,
+        in_specs=[pl.BlockSpec((BR, Vp), lambda r: (r, 0)),
+                  pl.BlockSpec((BR, 1), lambda r: (r, 0))],
+        out_specs=(pl.BlockSpec((BR, k), lambda r: (r, 0)),
+                   pl.BlockSpec((BR, k), lambda r: (r, 0))),
+        out_shape=(jax.ShapeDtypeStruct((Rp, k), jnp.float32),
+                   jax.ShapeDtypeStruct((Rp, k), jnp.int32)),
+        interpret=interpret,
+    )(x, bias)
+    if Rp != R:
+        vals, idx = vals[:R], idx[:R]
+    return vals, idx
+
+
+def top_k_fused(logit, bias, k: int, temp: float = 1.0,
+                interpret: bool = False):
+    """Exact top-k of ``logit / temp - logsumexp(logit / temp, axis=1)
+    + bias`` without materializing the transformed array.  ``logit``
+    [R, V] (any float dtype; math in f32), ``bias`` [R, 1] f32 (use -inf
+    to disable whole rows, e.g. the beam's step-0 duplicate beams)."""
+    assert logit.ndim == 2 and bias.shape == (logit.shape[0], 1), \
+        (logit.shape, bias.shape)
+    assert k <= logit.shape[1], (k, logit.shape)
+    return _top_k_fused_impl(logit, bias, k, float(temp), interpret)

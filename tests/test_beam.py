@@ -278,6 +278,7 @@ def test_pallas_env_toggle_retraces(monkeypatch):
         return jax.lax.top_k(x, k)          # same semantics by contract
 
     monkeypatch.setattr(pallas_topk, "top_k", fake_top_k)
+    monkeypatch.setenv("CHINESE_ASR_PALLAS_FUSED", "0")
     cfg = SMALL
     params = las.init_params(jax.random.PRNGKey(0), cfg)
     feats, lens = make_inputs(cfg, 0)
@@ -353,3 +354,26 @@ def test_unrolled_loop_identical_to_single_step(unroll):
                               jnp.asarray(lens), unroll=unroll)
         for a, b in zip(r1, rn):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_logp_option_matches_default(monkeypatch):
+    """The opt-in fused logp+top-k stage (CHINESE_ASR_PALLAS_FUSED) must
+    reproduce the default path exactly when both run the same backend
+    (interpret mode here; on real TPU only the logsumexp reduction order
+    differs — documented in ops/pallas/topk.py)."""
+    import functools
+    from chinese_asr_tpu.ops.pallas import topk as pallas_topk
+    monkeypatch.setattr(pallas_topk, "top_k_fused",
+                        functools.partial(pallas_topk.top_k_fused,
+                                          interpret=True))
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(9), cfg)
+    feats, lens = make_inputs(cfg, 3, B=3)
+    r0 = beam.beam_decode(params, cfg, 4, jnp.asarray(feats),
+                          jnp.asarray(lens), use_pallas=False)
+    r1 = beam.beam_decode(params, cfg, 4, jnp.asarray(feats),
+                          jnp.asarray(lens), use_pallas=True,
+                          fused_logp=True)
+    for a, b in zip(r0, r1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

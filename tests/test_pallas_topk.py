@@ -60,12 +60,68 @@ def test_nan_rows_stay_in_range():
 
 
 def test_neg_inf_rows():
-    """Rows full of -inf (empty beams) must not crash and keep order."""
+    """Rows full of -inf (empty beams) must yield k DISTINCT ascending
+    indices like lax.top_k — the -inf "excluded" sentinel must never
+    collide with real -inf values (regression: the first threshold
+    rewrite re-picked col 0 forever on such rows)."""
     x = np.full((8, 130), -np.inf, np.float32)
     x[1, 7] = 1.0
     v, i = pallas_topk.top_k(jnp.asarray(x), 3, interpret=True)
     assert int(i[1, 0]) == 7 and float(v[1, 0]) == 1.0
     v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), 3)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_array_equal(np.asarray(v)[np.isfinite(np.asarray(v))],
                                   np.asarray(v_ref)[
                                       np.isfinite(np.asarray(v_ref))])
+    assert (np.asarray(i)[0] == [0, 1, 2]).all()
+
+
+@pytest.mark.parametrize("R,V,k,temp", [(8, 64, 5, 1.0), (6, 100, 4, 1.3),
+                                        (256, 5004, 17, 1.0)])
+def test_fused_matches_xla_composition(R, V, k, temp):
+    """top_k_fused(logit, bias) must equal the XLA chain
+    top_k(logit/T - logsumexp(logit/T) + bias) — the beam's stage-1
+    contract (values to 1e-6; indices exactly, random floats never tie)."""
+    rng = np.random.RandomState(R + V + k)
+    logit = jnp.asarray(rng.randn(R, V).astype(np.float32) * 3)
+    bias = jnp.asarray(rng.randn(R, 1).astype(np.float32))
+    x = logit / temp
+    key = x - jax.scipy.special.logsumexp(x, axis=1, keepdims=True) + bias
+    v_ref, i_ref = jax.lax.top_k(key, k)
+    v, i = pallas_topk.top_k_fused(logit, bias, k, temp, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_fused_disabled_rows_and_nan():
+    """-inf bias rows yield ascending indices / -inf values (the beam's
+    step-0 duplicate-beam masking); a NaN logit poisons its whole row
+    like the XLA logsumexp does."""
+    rng = np.random.RandomState(0)
+    logit = rng.randn(4, 96).astype(np.float32)
+    logit[2, 30] = np.nan
+    bias = np.zeros((4, 1), np.float32)
+    bias[1, 0] = -np.inf
+    v, i = pallas_topk.top_k_fused(jnp.asarray(logit), jnp.asarray(bias),
+                                   3, interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+    assert (i[1] == [0, 1, 2]).all() and np.isneginf(v[1]).all()
+    assert np.isnan(v[2]).all() and (i[2] == [0, 1, 2]).all()
+    key = logit - jax.scipy.special.logsumexp(
+        jnp.asarray(logit), axis=1, keepdims=True)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(key), 3)
+    np.testing.assert_array_equal(i[[0, 3]], np.asarray(i_ref)[[0, 3]])
+
+
+def test_fused_disabled_row_beats_nan():
+    """A -inf-bias (disabled) row with NaN logits must stay -inf — the
+    XLA path's step-0 mask is applied after the NaN-producing transform
+    and wins there too."""
+    logit = np.random.RandomState(1).randn(2, 64).astype(np.float32)
+    logit[0, 5] = np.nan
+    bias = np.array([[-np.inf], [0.0]], np.float32)
+    v, i = pallas_topk.top_k_fused(jnp.asarray(logit), jnp.asarray(bias),
+                                   3, interpret=True)
+    assert np.isneginf(np.asarray(v)[0]).all()
+    assert (np.asarray(i)[0] == [0, 1, 2]).all()
