@@ -423,6 +423,23 @@ class ASR:
         """One utterance in, transcript out (main.py:100-102)."""
         return self.transcribe_files([path])[0]
 
+    def transcribe_bytes(self, data: bytes, suffix: str = "") -> str:
+        """Transcribe raw audio BYTES — the in-memory service variant the
+        reference sketches (its commented AMR-bytes handler, main.py:9-16).
+        WAV bytes decode directly; anything else (amr/mp3/ogg/...) goes
+        through the ffmpeg transcoder.  ``suffix`` (e.g. ".amr") helps
+        ffmpeg pick a demuxer for headerless containers."""
+        is_wav = data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        with tempfile.NamedTemporaryFile(
+                suffix=suffix or (".wav" if is_wav else ".bin"),
+                delete=False) as tf:
+            tf.write(data)
+            tmp = tf.name
+        try:
+            return self.transcribe_files([tmp], transcode=not is_wav)[0]
+        finally:
+            os.unlink(tmp)
+
     def transcribe_long(self, path: str, chunk_s: float = 10.0,
                         search_s: float = 0.5) -> str:
         """Long-form audio beyond the reference's 10-second guidance

@@ -344,3 +344,27 @@ def test_transcribe_chunking_sorts_by_length(corpus):
 def test_transcribe_empty_list():
     from chinese_asr_tpu.api import ASR
     assert ASR(cfg=SMALL, wav_bucket=4800).transcribe_wavs([]) == []
+
+
+def test_transcribe_bytes_wav(tmp_path):
+    """In-memory audio bytes (the reference's sketched service variant,
+    main.py:9-16): WAV bytes must transcribe identically to the file."""
+    import io
+    import wave as wave_mod
+    from chinese_asr_tpu.api import ASR, _identity_vocab
+
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(8000) * 6000).clip(-32768, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+    data = buf.getvalue()
+    p = tmp_path / "x.wav"
+    p.write_bytes(data)
+
+    asr = ASR(cfg=SMALL, bw=2, vocab=_identity_vocab(SMALL.vocab.vocab_size),
+              wav_bucket=1600)
+    assert asr.transcribe_bytes(data) == asr(str(p))
