@@ -29,6 +29,39 @@ from jax.experimental import pallas as pl
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def _extract_desc(key, col, k: int, sentinel: int, vals_ref, idx_ref):
+    """k threshold-exclusion extraction passes over ``key``/``col`` (any
+    shape with rows on axis 0; reduces run over all other axes), writing
+    descending (value, index) pairs into the output refs.  Returns the
+    k-th (last) extracted (value, col) — the selection threshold.
+
+    Exclusion is implied by the last extracted (v, i): extraction runs in
+    exact descending (value, then ascending col) order, so an element is
+    already taken iff key > v, or key == v and col <= i.  Ties go to the
+    LOWER col (jax.lax.top_k order); +inf keys read back as NaN (the
+    NaN-above-+inf total order of lax.top_k)."""
+    BR = key.shape[0]
+    axes = tuple(range(1, key.ndim))
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+    v = jnp.full((BR,) + (1,) * len(axes), pos_inf, jnp.float32)
+    i = jnp.full((BR,) + (1,) * len(axes), -1, jnp.int32)
+    for j in range(k):
+        excl = (key > v) | ((key == v) & (col <= i))
+        m = jnp.max(jnp.where(excl, neg_inf, key), axis=axes, keepdims=True)
+        # first max AMONG NON-EXCLUDED cols: on all--inf rows the -inf
+        # "excluded" sentinel ties with real -inf values, so the index
+        # must come from the exclusion mask, not from argmax of the
+        # masked array (which would re-pick col 0 forever)
+        i = jnp.min(jnp.where((key == m) & ~excl, col, sentinel),
+                    axis=axes, keepdims=True)
+        v = m
+        vals_ref[:, j] = jnp.where(v == pos_inf, jnp.float32(jnp.nan),
+                                   v).reshape(BR)
+        idx_ref[:, j] = i.reshape(BR)
+    return v, i
+
+
 def _kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
     """Descending extraction with THRESHOLD exclusion (round 3; the trace
     showed this kernel at 29% of the whole decode pipeline).
@@ -52,29 +85,74 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
     x = x_ref[...].astype(jnp.float32)                       # [BR, Vp]
     BR, Vp = x.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (BR, Vp), 1)
+    key = jnp.where(col >= n_valid, jnp.float32(-jnp.inf),
+                    jnp.where(jnp.isnan(x), jnp.float32(jnp.inf), x))
+    _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
+
+
+GROUP_LEVELS = 5  # per-group candidates S; fallback iff a group exhausts
+
+
+def _kernel_grouped(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int,
+                    levels: int):
+    """Two-level extraction (round 3, PERF lever #1: the flat kernel's k
+    full [BR, Vp] sweeps are 29% of the decode pipeline).
+
+    Groups are INTERLEAVED along lanes — group j holds cols {j, 128+j,
+    256+j, ...} — so the per-group max is a reduce over the *sublane*
+    axis of [BR, Vp/128, 128]: plain cross-vreg vector maxes, as cheap
+    as a full-row reduce, but yielding 128 group maxima at once.  S
+    (=``levels``) such passes give every group's top-S as candidates
+    [BR, S, 128]; the global top-k is then extracted from that small set
+    (passes over S*128 lanes instead of Vp).
+
+    Exactness: the candidate set provably contains the true top-k UNLESS
+    some group had all S of its candidates selected (then its unseen
+    S+1-th element might belong above the k-th pick).  That is detected
+    with the selection threshold (the k-th extracted (value, col)) and
+    the whole block falls back to the flat k-sweep extraction in-kernel
+    (`pl.when`).  P(fallback) ~ C(k,S)/128^(S-1) per row (~2e-5 at k=17,
+    S=5) — rare, and the fallback is merely the old kernel's cost.
+
+    Caller guarantees Vp/128 > levels (else a group could run out of
+    real elements mid-extraction) and k <= levels*128."""
+    x = x_ref[...].astype(jnp.float32)                       # [BR, Vp]
+    BR, Vp = x.shape
+    M = Vp // 128
+    col = jax.lax.broadcasted_iota(jnp.int32, (BR, Vp), 1)
     neg_inf = jnp.float32(-jnp.inf)
-    pos_inf = jnp.float32(jnp.inf)
     key = jnp.where(col >= n_valid, neg_inf,
-                    jnp.where(jnp.isnan(x), pos_inf, x))
-    v = jnp.full((BR, 1), pos_inf, jnp.float32)  # nothing extracted yet:
-    i = jnp.full((BR, 1), -1, jnp.int32)         # (+inf, col -1) excludes
-    for j in range(k):                           # only cols <= -1 = none
-        excl = (key > v) | ((key == v) & (col <= i))
-        m = jnp.max(jnp.where(excl, neg_inf, key), axis=1, keepdims=True)
-        # first max AMONG NON-EXCLUDED cols: on all--inf rows the -inf
-        # "excluded" sentinel ties with real -inf values, so the index
-        # must come from the exclusion mask, not from argmax of the
-        # masked array (which would re-pick col 0 forever)
-        i = jnp.min(jnp.where((key == m) & ~excl, col, Vp), axis=1,
-                    keepdims=True)
-        v = m
-        vals_ref[:, j] = jnp.where(v == pos_inf, jnp.float32(jnp.nan),
-                                   v)[:, 0]
-        idx_ref[:, j] = i[:, 0]
+                    jnp.where(jnp.isnan(x), jnp.float32(jnp.inf), x))
+    key3 = key.reshape(BR, M, 128)
+    col3 = col.reshape(BR, M, 128)
+    vg = jnp.full((BR, 1, 128), jnp.float32(jnp.inf), jnp.float32)
+    ig = jnp.full((BR, 1, 128), -1, jnp.int32)
+    cvs, ccs = [], []
+    for _ in range(levels):                 # per-group top-S, same
+        excl = (key3 > vg) | ((key3 == vg) & (col3 <= ig))  # threshold
+        mg = jnp.max(jnp.where(excl, neg_inf, key3), axis=1,   # exclusion
+                     keepdims=True)                            # as flat
+        ig = jnp.min(jnp.where((key3 == mg) & ~excl, col3, Vp), axis=1,
+                     keepdims=True)
+        vg = mg
+        cvs.append(vg)
+        ccs.append(ig)
+    cv = jnp.concatenate(cvs, axis=1)                        # [BR, S, 128]
+    cc = jnp.concatenate(ccs, axis=1)
+    v_k, i_k = _extract_desc(cv, cc, k, Vp, vals_ref, idx_ref)
+    # exhaustion check: candidate c was selected iff it orders
+    # before-or-equal the k-th pick (threshold test again)
+    taken = (cv > v_k) | ((cv == v_k) & (cc <= i_k))
+    per_group = jnp.sum(taken.astype(jnp.int32), axis=1)     # [BR, 128]
+    bad = jnp.any(per_group >= levels)
+
+    @pl.when(bad)
+    def _fallback():
+        _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _top_k_impl(x, k: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _top_k_impl(x, k: int, interpret: bool, grouped: bool = False):
     R, V = x.shape
     Vp = -(-V // 128) * 128
     if V < Vp:
@@ -89,8 +167,15 @@ def _top_k_impl(x, k: int, interpret: bool):
         x = jnp.pad(x, ((0, Rp - R), (0, 0)), constant_values=NEG_INF)
     BR = 128 if Rp % 128 == 0 else Rp
     grid = (Rp // BR,)
+    # grouped two-level extraction needs >levels rows per interleaved
+    # group (so groups can't run dry) and candidates for every pick
+    if grouped and Vp // 128 > GROUP_LEVELS and k <= 64:
+        kernel = functools.partial(_kernel_grouped, k=k, n_valid=V,
+                                   levels=GROUP_LEVELS)
+    else:
+        kernel = functools.partial(_kernel, k=k, n_valid=V)
     vals, idx = pl.pallas_call(
-        functools.partial(_kernel, k=k, n_valid=V),
+        kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((BR, Vp), lambda r: (r, 0))],
         out_specs=(pl.BlockSpec((BR, k), lambda r: (r, 0)),
@@ -104,11 +189,20 @@ def _top_k_impl(x, k: int, interpret: bool):
     return vals, idx
 
 
+def use_grouped_topk() -> bool:
+    """Opt-in (until measured on hardware): two-level grouped extraction
+    in the top-k kernel.  CHINESE_ASR_TOPK_GROUPED=1 enables; shapes the
+    scheme can't serve (small vocab, huge k) silently keep the flat
+    kernel.  Read per call and threaded as a static jit arg, so flipping
+    the env var takes effect immediately (no stale trace)."""
+    return os.environ.get("CHINESE_ASR_TOPK_GROUPED", "0") != "0"
+
+
 def top_k(x, k: int, interpret: bool = False):
     """Exact top-k along the last axis of a 2-D f32 array."""
     assert x.ndim == 2, x.shape
     assert k <= x.shape[1], (k, x.shape)
-    return _top_k_impl(x, k, interpret)
+    return _top_k_impl(x, k, interpret, use_grouped_topk())
 
 
 def use_fused_logp() -> bool:

@@ -76,6 +76,56 @@ def test_neg_inf_rows():
     assert (np.asarray(i)[0] == [0, 1, 2]).all()
 
 
+@pytest.mark.parametrize("R,V,k", [(8, 5004, 17), (200, 1000, 9),
+                                   (8, 64, 5)])
+def test_grouped_matches_lax_top_k(R, V, k, monkeypatch):
+    """CHINESE_ASR_TOPK_GROUPED=1: the two-level grouped extraction must
+    equal lax.top_k exactly (small V silently keeps the flat kernel —
+    still exact)."""
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    rng = np.random.RandomState(R + V + k)
+    x = jnp.asarray(rng.randn(R, V).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, k)
+    v, i = pallas_topk.top_k(x, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_grouped_exhausted_group_falls_back(monkeypatch):
+    """>levels of the top-k packed into ONE interleaved lane-group (cols
+    = 7 mod 128) must trigger the in-kernel exhaustion fallback and stay
+    exact — the candidate set alone cannot see the 6th element."""
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    rng = np.random.RandomState(3)
+    V, k = 5004, 17
+    x = rng.randn(8, V).astype(np.float32)
+    group7 = [7 + 128 * m for m in range(8)]          # 8 > GROUP_LEVELS
+    x[:, group7] = 100.0 + np.arange(8)[None, :]      # dominate top-17
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+    v, i = pallas_topk.top_k(jnp.asarray(x), k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_grouped_ties_nan_neginf(monkeypatch):
+    """Grouped mode keeps lax.top_k's full total order: ties -> lower
+    col (including ties INSIDE one group, which span candidate levels),
+    NaN above everything, all--inf rows yield ascending cols."""
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    V, k = 1000, 6
+    x = np.zeros((4, V), np.float32)
+    x[0, [5, 133, 261, 700]] = 7.0       # cols 5/133/261 share group 5
+    x[1, 11] = np.nan
+    x[2, :] = -np.inf
+    x[3, :500] = np.linspace(0, 1, 500, dtype=np.float32)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+    v, i = pallas_topk.top_k(jnp.asarray(x), k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    f = np.isfinite(np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(v)[f], np.asarray(v_ref)[f])
+    assert np.isnan(np.asarray(v)[1, 0]) and int(np.asarray(i)[1, 0]) == 11
+
+
 @pytest.mark.parametrize("R,V,k,temp", [(8, 64, 5, 1.0), (6, 100, 4, 1.3),
                                         (256, 5004, 17, 1.0)])
 def test_fused_matches_xla_composition(R, V, k, temp):
