@@ -478,7 +478,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     (main.py:107-120)."""
     import argparse
     ap = argparse.ArgumentParser(description="chinese_asr_tpu transcriber")
-    ap.add_argument("--wav", required=True, nargs="+", help="wav file(s)")
+    ap.add_argument("--wav", nargs="*", default=[],
+                    help="wav file(s); optional under --serve-http")
     ap.add_argument("--ckpt", default=None, help="checkpoint path "
                     "(framework .ckpt or reference torch .ckpt)")
     ap.add_argument("--vocab", default=None, help="dict.pkl path")
@@ -490,13 +491,23 @@ def main(argv: Optional[List[str]] = None) -> None:
                     help="after the initial wavs, keep reading wav paths "
                          "from stdin, one transcript per line (the service "
                          "mode the reference sketches at main.py:9-16)")
+    ap.add_argument("--serve-http", type=int, default=None, metavar="PORT",
+                    help="serve POST /transcribe (audio bytes -> JSON) "
+                         "with request micro-batching; see serve.py")
     args = ap.parse_args(argv)
+    if not args.wav and args.serve_http is None and not args.serve:
+        ap.error("nothing to do: pass --wav and/or --serve/--serve-http")
 
     asr = ASR(ckpt_path=args.ckpt, lm_path=args.lm, bw=args.bw,
               vocab=args.vocab)
     for path, text in zip(args.wav,
                           asr.transcribe_files(args.wav, args.transcode)):
         print(f"{path}\t{text}")
+    if args.serve_http is not None:
+        from .serve import serve_http
+        server = serve_http(asr, port=args.serve_http, host="0.0.0.0")
+        print(f"serving on :{server.server_port}", flush=True)
+        server.serve_forever()
     if args.serve:
         import sys
         for line in sys.stdin:
