@@ -139,11 +139,11 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         # bw=16) followed by threshold-exclusion extraction.  Elsewhere:
         # the XLA transform + approx_max_k with recall_target=1.0 (the
         # exact-top-k lowering).  Full-pipeline A/B on v5e at B=128,
-        # bw=16 (tools/pipeline_topk_ab.py): pallas 83.0 ms/batch vs
-        # approx_max_k 88.0 vs full-sort lax.top_k 87.9 — the kernel
-        # stays the TPU default; NOTE the standalone chained microbench
-        # (tools/topk_bench.py) ranks them the OPPOSITE way (701/696/
-        # 1247 us/op), so only the in-pipeline number decides here.
+        # bw=16 (tools/pipeline_topk_ab.py): pallas grouped 75.7-78.8
+        # ms/batch (the TPU default) vs pallas flat 82.1-82.4 vs
+        # approx_max_k 87.5 vs full-sort lax.top_k 87.4; NOTE the
+        # standalone chained microbench (tools/topk_bench.py) ranks
+        # pallas LAST, so only the in-pipeline number decides here.
         # Step 0 (all beams identical) disables beams > 0
         # via a -inf row bias / -inf row fill.
         if use_pallas and fused_logp:

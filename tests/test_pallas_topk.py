@@ -11,7 +11,10 @@ from chinese_asr_tpu.ops.pallas import topk as pallas_topk
 
 
 @pytest.mark.parametrize("R,V,k", [(8, 64, 5), (6, 100, 4), (256, 5004, 17)])
-def test_matches_lax_top_k(R, V, k):
+def test_matches_lax_top_k(R, V, k, monkeypatch):
+    # pin the FLAT kernel (grouped is the default since the hardware
+    # measurement; its parity is pinned by test_grouped_matches_lax_top_k)
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "0")
     rng = np.random.RandomState(R + V + k)
     x = jnp.asarray(rng.randn(R, V).astype(np.float32))
     v_ref, i_ref = jax.lax.top_k(x, k)

@@ -88,8 +88,26 @@ def main() -> None:
             return beam.select_best(res, cfg.decode.length_weight)
         return pipe
 
-    variants = {"pallas_topk": build(True), "approx_max_k": build(False),
-                "lax_top_k": build_laxtopk()}
+    def build_grouped():
+        from chinese_asr_tpu.ops.pallas import topk as pallas_topk
+
+        @jax.jit
+        def pipe(params, wavs, wav_lens):
+            f, fl = features.featurize_batch(wavs, wav_lens, cfg.audio)
+            orig = pallas_topk.top_k
+            pallas_topk.top_k = (                       # trace-time swap
+                lambda x, k, interpret=False:
+                pallas_topk._top_k_impl(x, k, interpret, True))
+            try:
+                res = beam.beam_decode(params, cfg, args.bw, f, fl,
+                                       use_pallas=True)
+            finally:
+                pallas_topk.top_k = orig
+            return beam.select_best(res, cfg.decode.length_weight)
+        return pipe
+
+    variants = {"pallas_topk": build(True), "pallas_grouped": build_grouped(),
+                "approx_max_k": build(False), "lax_top_k": build_laxtopk()}
     outs = {}
     for name, fn in variants.items():           # compile + warm all first
         t0 = time.perf_counter()
