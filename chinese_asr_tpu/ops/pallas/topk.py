@@ -126,11 +126,21 @@ def _kernel_grouped(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int,
     reproduce the flat kernel's min-col-among-maxima tie rule."""
     x = x_ref[...].astype(jnp.float32)                       # [BR, Vp]
     BR, Vp = x.shape
-    M = Vp // 128
     col = jax.lax.broadcasted_iota(jnp.int32, (BR, Vp), 1)
     neg_inf = jnp.float32(-jnp.inf)
     key = jnp.where(col >= n_valid, neg_inf,
                     jnp.where(jnp.isnan(x), jnp.float32(jnp.inf), x))
+    _extract_grouped(key, col, k, Vp, levels, vals_ref, idx_ref)
+
+
+def _extract_grouped(key, col, k: int, Vp: int, levels: int,
+                     vals_ref, idx_ref):
+    """Grouped two-level extraction of ``key``/``col`` [BR, Vp] into the
+    output refs (see `_kernel_grouped` for the scheme and the Mosaic 2-D
+    constraints).  ``col`` is only read un-sliced (fallback path)."""
+    BR = key.shape[0]
+    M = Vp // 128
+    neg_inf = jnp.float32(-jnp.inf)
     # per-slice columns come from a fresh lane iota, NOT col[:, a:b]: a
     # broadcasted_iota constant along sublanes is stored sublane-
     # replicated, and strided-slicing that layout crashes Mosaic too
@@ -235,7 +245,12 @@ def use_fused_logp() -> bool:
     (~150 us/step HBM at B=128, bw=16) but computes the logsumexp with
     Mosaic's reduction order, which can flip near-tied beam survivors
     relative to the XLA transform — the default keeps stage-1 selection
-    bit-identical to the XLA path.  CHINESE_ASR_PALLAS_FUSED=1 enables."""
+    bit-identical to the XLA path.  CHINESE_ASR_PALLAS_FUSED=1 enables.
+    Measured twice as a pipeline NEGATIVE on v5e (B=128, bw=16): with
+    flat extraction in mid round 3, and again with the grouped
+    extraction it now shares (76.7-77.1 vs 75.6 ms/batch non-fused) —
+    the in-kernel row logsumexp serializes against the extraction sweeps
+    while XLA overlaps its transform with other loop work."""
     return os.environ.get("CHINESE_ASR_PALLAS_FUSED", "0") != "0"
 
 
@@ -254,7 +269,8 @@ def use_pallas_topk() -> bool:
 # fused logp + top-k for the beam loop's stage-1 selection
 # --------------------------------------------------------------------------
 def _fused_kernel(x_ref, bias_ref, vals_ref, idx_ref, *, k: int,
-                  n_valid: int, inv_temp_is_div: float):
+                  n_valid: int, inv_temp_is_div: float,
+                  grouped: bool = False):
     """key = x / T - logsumexp(x / T) + bias, then exact top-k extraction.
 
     Same selection semantics as running the XLA logp transform and then
@@ -290,21 +306,15 @@ def _fused_kernel(x_ref, bias_ref, vals_ref, idx_ref, *, k: int,
     # stay -inf even when their logits hold NaN — the XLA path's -inf
     # mask is applied after the NaN-producing transform and wins there
     key = jnp.where(jnp.isneginf(bias), neg_inf, key)
-    v = jnp.full((BR, 1), pos_inf, jnp.float32)
-    i = jnp.full((BR, 1), -1, jnp.int32)
-    for j in range(k):
-        excl = (key > v) | ((key == v) & (col <= i))
-        m = jnp.max(jnp.where(excl, neg_inf, key), axis=1, keepdims=True)
-        i = jnp.min(jnp.where((key == m) & ~excl, col, Vp), axis=1,
-                    keepdims=True)           # first max among non-excluded
-        v = m
-        vals_ref[:, j] = jnp.where(v == pos_inf, jnp.float32(jnp.nan),
-                                   v)[:, 0]
-        idx_ref[:, j] = i[:, 0]
+    if grouped:
+        _extract_grouped(key, col, k, Vp, GROUP_LEVELS, vals_ref, idx_ref)
+    else:
+        _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool,
+                      grouped: bool = False):
     R, V = x.shape
     Vp = -(-V // 128) * 128
     if V < Vp:
@@ -316,9 +326,10 @@ def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool):
         bias = jnp.pad(bias, ((0, Rp - R), (0, 0)))
     BR = 128 if Rp % 128 == 0 else Rp
     grid = (Rp // BR,)
+    grouped = grouped and Vp // 128 > GROUP_LEVELS and k <= 64
     vals, idx = pl.pallas_call(
         functools.partial(_fused_kernel, k=k, n_valid=V,
-                          inv_temp_is_div=temp),
+                          inv_temp_is_div=temp, grouped=grouped),
         grid=grid,
         in_specs=[pl.BlockSpec((BR, Vp), lambda r: (r, 0)),
                   pl.BlockSpec((BR, 1), lambda r: (r, 0))],
@@ -342,4 +353,5 @@ def top_k_fused(logit, bias, k: int, temp: float = 1.0,
     assert logit.ndim == 2 and bias.shape == (logit.shape[0], 1), \
         (logit.shape, bias.shape)
     assert k <= logit.shape[1], (k, logit.shape)
-    return _top_k_fused_impl(logit, bias, k, float(temp), interpret)
+    return _top_k_fused_impl(logit, bias, k, float(temp), interpret,
+                             use_grouped_topk())

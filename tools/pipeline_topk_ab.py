@@ -88,7 +88,8 @@ def main() -> None:
             return beam.select_best(res, cfg.decode.length_weight)
         return pipe
 
-    def build_grouped():
+    def build_flat():
+        # grouped extraction is the kernel default now; pin FLAT here
         from chinese_asr_tpu.ops.pallas import topk as pallas_topk
 
         @jax.jit
@@ -97,7 +98,7 @@ def main() -> None:
             orig = pallas_topk.top_k
             pallas_topk.top_k = (                       # trace-time swap
                 lambda x, k, interpret=False:
-                pallas_topk._top_k_impl(x, k, interpret, True))
+                pallas_topk._top_k_impl(x, k, interpret, False))
             try:
                 res = beam.beam_decode(params, cfg, args.bw, f, fl,
                                        use_pallas=True)
@@ -106,7 +107,19 @@ def main() -> None:
             return beam.select_best(res, cfg.decode.length_weight)
         return pipe
 
-    variants = {"pallas_topk": build(True), "pallas_grouped": build_grouped(),
+    def build_fused():
+        # fused logp+top-k stage-1 (CHINESE_ASR_PALLAS_FUSED path); the
+        # extraction inside follows the grouped default
+        @jax.jit
+        def pipe(params, wavs, wav_lens):
+            f, fl = features.featurize_batch(wavs, wav_lens, cfg.audio)
+            res = beam.beam_decode(params, cfg, args.bw, f, fl,
+                                   use_pallas=True, fused_logp=True)
+            return beam.select_best(res, cfg.decode.length_weight)
+        return pipe
+
+    variants = {"pallas_topk": build(True), "pallas_flat": build_flat(),
+                "pallas_fused": build_fused(),
                 "approx_max_k": build(False), "lax_top_k": build_laxtopk()}
     outs = {}
     for name, fn in variants.items():           # compile + warm all first
