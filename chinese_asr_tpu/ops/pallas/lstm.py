@@ -5,17 +5,26 @@ biggest native hot loop of the reference — its packed-sequence nn.LSTM,
 reference encoder.py:53-64): the whole T-step recurrence of BOTH
 directions runs inside one kernel.
 
-Split of labor (mirrors ops/rnn._scan_lstm_bidir):
+Split of labor (mirrors ops/rnn._bidir_lstm_layer_tm):
 * XLA precomputes the input gates ``xg = x @ w_ih + b`` for both
   directions as two large MXU matmuls (forward order + statically flipped
   for backward) — that part is already roofline-bound.
-* This kernel owns the sequential part: grid=(T,), one program per time
-  step.  The per-step xg slab streams HBM->VMEM through Pallas's automatic
-  block pipeline (double-buffered against compute), the (h, c) carry lives
-  in VMEM scratch across grid steps, the recurrent matmul hits the MXU,
-  and the masked state update freezes each sample's carry past its true
-  length.  Final (h, c) are flushed on the last step through a
-  constant-index output block.
+* This kernel owns the sequential part: grid=(T/chunk,), ``chunk`` time
+  steps per program.  The per-step xg slabs stream HBM->VMEM through
+  Pallas's automatic block pipeline (double-buffered against compute),
+  the (h, c) carries live in VMEM scratch across grid steps, the
+  recurrent matmuls hit the MXU, and the masked state update freezes each
+  sample's carry past its true length.  Final (h, c) are flushed on the
+  last step through a constant-index output block.
+
+Everything is TIME-MAJOR ([T, B, .]) and the two directions arrive as
+separate operands: the round-3 layout probe measured the loop itself at
+0.84 ms/layer but the batch-major wrapper's stack+moveaxis transposes at
+~3 ms/layer (~700 MB of pure layout churn per layer) — so the kernel's
+contract is "no relayout anywhere": xg is produced time-major by the
+hoisted matmul, the mask arrives [T, B, 1] (B already on sublanes), and
+all in-kernel math is 2-D per direction (Mosaic rule from the top-k
+kernel: no 3-D intermediates).
 
 Numerics match the lax.scan path up to MXU accumulation order.
 """
@@ -23,6 +32,7 @@ Numerics match the lax.scan path up to MXU accumulation order.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xg_ref, m_ref, whh_ref, ys_ref, hT_ref, cT_ref, h_scr, c_scr,
+def _kernel(xgf_ref, xgb_ref, mf_ref, mb_ref, whh_ref,
+            ysf_ref, ysb_ref, hT_ref, cT_ref, h_scr, c_scr,
             *, steps: int, chunk: int):
     t = pl.program_id(0)
 
@@ -42,88 +53,98 @@ def _kernel(xg_ref, m_ref, whh_ref, ys_ref, hT_ref, cT_ref, h_scr, c_scr,
     w0 = whh_ref[0]
     w1 = whh_ref[1]
 
-    def step(ci, carry):
-        h, c = carry
-        xg_t = xg_ref[ci]                                # [2, B, 4H]
-        m_t = m_ref[ci]                                  # [2, B]
-        gates0 = xg_t[0] + jnp.dot(h[0], w0,
-                                   preferred_element_type=jnp.float32)
-        gates1 = xg_t[1] + jnp.dot(h[1], w1,
-                                   preferred_element_type=jnp.float32)
-        gates = jnp.stack([gates0, gates1])              # [2, B, 4H]
+    def one_dir(xg_t, m_t, w, h, c):
+        gates = xg_t + jnp.dot(h, w, preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
-        m = m_t[:, :, None]
-        h = m * h2 + (1.0 - m) * h
-        c = m * c2 + (1.0 - m) * c
-        ys_ref[ci] = h2 * m
-        return h, c
+        y = h2 * m_t
+        h = y + (1.0 - m_t) * h
+        c = m_t * c2 + (1.0 - m_t) * c
+        return y, h, c
 
-    h, c = jax.lax.fori_loop(0, chunk, step, (h_scr[:], c_scr[:]))
-    h_scr[:] = h
-    c_scr[:] = c
+    def step(ci, carry):
+        h0, c0, h1, c1 = carry
+        y0, h0, c0 = one_dir(xgf_ref[ci], mf_ref[ci], w0, h0, c0)
+        y1, h1, c1 = one_dir(xgb_ref[ci], mb_ref[ci], w1, h1, c1)
+        ysf_ref[ci] = y0
+        ysb_ref[ci] = y1
+        return h0, c0, h1, c1
+
+    h0, c0, h1, c1 = jax.lax.fori_loop(
+        0, chunk, step, (h_scr[0], c_scr[0], h_scr[1], c_scr[1]))
+    h_scr[0], h_scr[1] = h0, h1
+    c_scr[0], c_scr[1] = c0, c1
 
     @pl.when(t == steps - 1)
     def _():
-        hT_ref[:] = h
-        cT_ref[:] = c
+        hT_ref[0], hT_ref[1] = h0, h1
+        cT_ref[0], cT_ref[1] = c0, c1
 
 
-def bidir_lstm_time_loop(xg, m2, w_hh, chunk: int = 0,
+def bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh, chunk: int = 0,
                          interpret: bool = False):
-    """xg [T, 2, B, 4H] f32, m2 [T, 2, B] f32, w_hh [2, H, 4H] ->
-    (ys [T, 2, B, H], hT [2, B, H], cT [2, B, H]).
+    """xg_f/xg_b [T, B, 4H] f32 (backward direction already time-flipped),
+    m_f/m_b [T, B] f32, w_hh [2, H, 4H] ->
+    (ys_f [T, B, H], ys_b [T, B, H] — ys_b in the FLIPPED time order it
+    was fed, hT [2, B, H], cT [2, B, H]).
 
     ``chunk`` time steps run per grid program (amortizing the per-block
     pipeline overhead); T is zero-padded up to a chunk multiple — masked
     padded steps leave the carry untouched and their outputs are sliced
-    off."""
-    T, G, B, H4 = xg.shape
+    off.  Measured on v5e: chunk 2 vs 4 within noise, >=6 exhausts VMEM
+    at the flagship shape (tools/lstm_chunk_ab.py)."""
+    T, B, H4 = xg_f.shape
     H = H4 // 4
     if chunk <= 0:
-        # keep the double-buffered xg slab around 2 MB so VMEM holds
-        # 2 slabs + weights + out chunk + carry within the 16 MB budget
-        chunk = max(1, min(16, (2 << 20) // (G * B * H4 * 4)))
+        env = os.environ.get("CHINESE_ASR_LSTM_CHUNK")
+        if env:
+            chunk = int(env)
+        else:
+            # keep the double-buffered xg slabs around 4 MB so VMEM holds
+            # 2x2 slabs + weights + out chunks + carries within 16 MB
+            # (chunk=4 at the flagship shape: measured marginally faster
+            # than 2, and 6+ exhausts VMEM — tools/lstm_chunk_ab.py)
+            chunk = max(1, min(16, (4 << 20) // (2 * B * H4 * 4)))
     Tp = ((T + chunk - 1) // chunk) * chunk
     if Tp != T:
-        xg = jnp.pad(xg, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
-        m2 = jnp.pad(m2, ((0, Tp - T), (0, 0), (0, 0)))
+        pad = ((0, Tp - T), (0, 0), (0, 0))
+        xg_f = jnp.pad(xg_f, pad)
+        xg_b = jnp.pad(xg_b, pad)
+        m_f = jnp.pad(m_f, pad[:2])
+        m_b = jnp.pad(m_b, pad[:2])
     steps = Tp // chunk
     kernel = functools.partial(_kernel, steps=steps, chunk=chunk)
-    flops = Tp * (2 * B * H * H4 * 2 + 10 * G * B * H4)
-    ys, hT, cT = pl.pallas_call(
+    flops = Tp * (2 * B * H * H4 * 2 + 10 * 2 * B * H4)
+    xg_spec = pl.BlockSpec((chunk, B, H4), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((chunk, B, 1), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ys_spec = pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((2, B, H), lambda t: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ys_f, ys_b, hT, cT = pl.pallas_call(
         kernel,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((chunk, G, B, H4), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, G, B), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, H4), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((chunk, G, B, H), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, B, H), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, B, H), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[xg_spec, xg_spec, m_spec, m_spec,
+                  pl.BlockSpec((2, H, H4), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[ys_spec, ys_spec, st_spec, st_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, G, B, H), xg.dtype),
-            jax.ShapeDtypeStruct((G, B, H), xg.dtype),
-            jax.ShapeDtypeStruct((G, B, H), xg.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H), xg_f.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H), xg_f.dtype),
+            jax.ShapeDtypeStruct((2, B, H), xg_f.dtype),
+            jax.ShapeDtypeStruct((2, B, H), xg_f.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, B, H), jnp.float32),
-            pltpu.VMEM((G, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(xg.size + Tp * G * B * H + G * H * H4) * 4,
-            transcendentals=Tp * G * B * H4),
+            bytes_accessed=(2 * xg_f.size + 2 * Tp * B * H + 2 * H * H4) * 4,
+            transcendentals=Tp * 2 * B * H4),
         interpret=interpret,
-    )(xg, m2, w_hh)
-    return ys[:T], hT, cT
+    )(xg_f, xg_b, m_f[..., None], m_b[..., None], w_hh)
+    return ys_f[:T], ys_b[:T], hT, cT
