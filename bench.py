@@ -158,7 +158,10 @@ def main() -> None:
             elif compact:
                 out = beam.finalize_best(res, vocab)
             else:
-                out = beam.finalize_beam(res, cfg, vocab, lm_model=lm,
+                # product path (api.transcribe_wavs): device-side n-best
+                # compaction so only the finite slots cross the tunnel
+                out = beam.finalize_beam(beam.compact_nbest(res), cfg, vocab,
+                                         lm_model=lm,
                                          second_pass=lm is not None,
                                          lm_weight=cfg.decode.lm_weight,
                                          length_weight=cfg.decode.length_weight)
