@@ -178,6 +178,42 @@ def stack3(feat3):
     return f.reshape(*lead, T3 // 3, C * 3 * M)
 
 
+def deltas_stack3(feat):
+    """Fused ``stack3(add_delta_deltas(feat))``: [..., T, M] -> [..., T//3, 9M].
+
+    Same math as the two-step path (delta conv then channel-major x3
+    stacking, reference data.py:129-164 + 244-249) but emitted directly in
+    the final layout: output column c*3M + r*M + m is
+    ``sum_j taps[j, c] * x_pad[3*t3 + r + j, m]`` — nine 9-tap strided
+    weighted sums concatenated on the feature axis.  This removes the
+    [..., T, 9, M] stack, the [..., 3, T, M] intermediate, and the
+    channel transpose that the TPU profile showed as a ~1.4 ms layout
+    copy + 0.7 ms conv at B=128 (PERF.md); XLA fuses the whole thing
+    into one elementwise loop over the output.
+
+    Taps are summed j-ascending; the two-step path reduces the same nine
+    f32 terms through the einsum, so results agree to f32 reassociation
+    (parity test: tests/test_features.py::test_deltas_stack3_fused_parity).
+    """
+    _, _, _, taps = _constants(AudioConfig())             # taps independent of cfg
+    T = feat.shape[-2]
+    T3 = T // 3
+    x = jnp.pad(feat, [(0, 0)] * (feat.ndim - 2) + [(4, 4), (0, 0)])
+    comps = []
+    for c in range(3):
+        for r in range(3):
+            acc = None
+            for j in range(9):
+                w = float(taps[j, c])
+                if w == 0.0:
+                    continue
+                sl = jax.lax.slice_in_dim(x, r + j, r + j + 3 * (T3 - 1) + 1,
+                                          stride=3, axis=feat.ndim - 2)
+                acc = w * sl if acc is None else acc + w * sl
+            comps.append(acc)                             # [..., T3, M]
+    return jnp.concatenate(comps, axis=-1)                # [..., T3, 9M]
+
+
 def instance_norm(feat, mask=None, eps: float = 1e-6, unbiased: bool = True):
     """(x - mean_t) / (std_t + eps) per utterance over valid frames
     (reference main.py:37 eps=1e-6; data.py:517 eps=1e-7 in the loader —
@@ -223,6 +259,8 @@ def featurize(audio, n_frames_max: int, cfg: AudioConfig, frame_mask=None):
         lm = pallas_logmel.log_mel(audio, n_frames_max, cfg, frame_mask)
     else:
         lm = log_mel(audio, n_frames_max, cfg, frame_mask)  # [..., T, 80]
+    if cfg.delta_delta and cfg.downsample:
+        return deltas_stack3(lm)                          # fused, final layout
     if cfg.delta_delta:
         f3 = add_delta_deltas(lm)                         # [..., 3, T, 80]
     else:

@@ -182,6 +182,11 @@ class TrainConfig:
     save_dir: str = "./ckpt"
     continue_train_ckpt_path: Optional[str] = None
     seed: int = 0
+    # mixed precision: forward/backward compute dtype ("float32" or
+    # "bfloat16").  Master weights, optimizer state, BN running stats and
+    # the CE loss stay float32 either way (no reference counterpart — the
+    # reference trains f32 on GPU; on TPU bf16 doubles MXU throughput)
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -190,7 +190,11 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         # [B*k, D] rows cost more than the einsum)
         hist3 = s["hist"].reshape(B, k, max_len + 1).astype(jnp.float32)
         top_oh = jax.nn.one_hot(top_beams, k, dtype=jnp.float32)      # [B,k,k]
-        hist_k = jnp.rint(jnp.einsum("bik,bkl->bil", top_oh, hist3)
+        # precision=HIGHEST: token ids (<= vocab ~5k) do not survive the
+        # bf16 operand rounding of TPU DEFAULT matmul precision; the f32
+        # loop-fusion lowering XLA picks today is exact only by accident
+        hist_k = jnp.rint(jnp.einsum("bik,bkl->bil", top_oh, hist3,
+                                     precision=jax.lax.Precision.HIGHEST)
                           )[:, :, 1:].astype(jnp.int32)               # prefixes
         # slot-per-step n-best buffers: step l's top-k candidates land at
         # slot l via a dynamic-slice update (a 2-D scatter here costs more
@@ -210,19 +214,28 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         eos2k = (cand_tokens == eos).astype(jnp.int32)
         rank = cand_offsets + eos2k * cand                            # [B, 2k]
         _, active = jax.lax.top_k(-rank, k)                           # smallest k
-        k_beams = jnp.take_along_axis(cand_beams, active, axis=1)
-        k_toks = jnp.take_along_axis(cand_tokens, active, axis=1)
-        new_scores = jnp.take_along_axis(cand_scores, active, axis=1)
+        # one packed gather instead of three: each [B, 2k] -> [B, k] gather
+        # is a separate latency-bound kernel (~17 us each in the trace);
+        # packing beams/tokens/scores (f32 bitcast to i32 — a gather
+        # preserves bits) folds them into one
+        packed = jnp.stack([cand_beams, cand_tokens,
+                            jax.lax.bitcast_convert_type(cand_scores,
+                                                         jnp.int32)], axis=1)
+        sel = jnp.take_along_axis(packed, active[:, None, :], axis=2)
+        k_beams, k_toks = sel[:, 0], sel[:, 1]
+        new_scores = jax.lax.bitcast_convert_type(sel[:, 2], jnp.float32)
 
         # per-sample beam permutation as a one-hot matmul (see hist_k above)
         sel_oh = jax.nn.one_hot(k_beams, k, dtype=jnp.float32)        # [B,k,k]
 
         def reorder(t):
             t3 = t.reshape(B, k, -1)
-            return jnp.einsum("bik,bkd->bid", sel_oh.astype(t.dtype), t3
+            return jnp.einsum("bik,bkd->bid", sel_oh.astype(t.dtype), t3,
+                              precision=jax.lax.Precision.HIGHEST
                               ).reshape(B * k, -1)
 
-        hist = jnp.rint(jnp.einsum("bik,bkl->bil", sel_oh, hist3)
+        hist = jnp.rint(jnp.einsum("bik,bkl->bil", sel_oh, hist3,
+                                   precision=jax.lax.Precision.HIGHEST)
                         ).astype(jnp.int32).reshape(B * k, max_len + 1)
         hist = jax.lax.dynamic_update_index_in_dim(
             hist, k_toks.reshape(-1), l + 1, axis=1)
@@ -282,13 +295,21 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         l_final=s["l_final"])
 
 
+def _kernel_variant():
+    """Extraction-variant env flags that are read at TRACE time inside
+    pallas_topk.top_k: they must join the jit cache keys below so
+    flipping CHINESE_ASR_TOPK_GROUPED / CHINESE_ASR_TOPK_ONEPASS after
+    the first decode retraces instead of replaying the stale choice."""
+    return (pallas_topk.use_grouped_topk(), pallas_topk.use_onepass_topk())
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted(cfg: Config, bw: int, use_pallas: bool, unroll: int,
-            fused_logp: bool):
-    # use_pallas/unroll/fused_logp are part of the cache key so flipping
-    # the CHINESE_ASR_PALLAS(_TOPK/_FUSED) / CHINESE_ASR_BEAM_UNROLL env
-    # overrides after the first decode takes effect instead of replaying
-    # the previously traced choice
+            fused_logp: bool, variant=None):
+    # use_pallas/unroll/fused_logp/variant are part of the cache key so
+    # flipping the CHINESE_ASR_PALLAS(_TOPK/_FUSED/_GROUPED/_ONEPASS) /
+    # CHINESE_ASR_BEAM_UNROLL env overrides after the first decode takes
+    # effect instead of replaying the previously traced choice
     return jax.jit(functools.partial(beam_decode, cfg=cfg, bw=bw,
                                      use_pallas=use_pallas, unroll=unroll,
                                      fused_logp=fused_logp))
@@ -296,7 +317,7 @@ def _jitted(cfg: Config, bw: int, use_pallas: bool, unroll: int,
 
 def beam_decode_jit(params, cfg: Config, bw: int, feats, feat_lens) -> BeamResult:
     return _jitted(cfg, bw, pallas_topk.use_pallas_topk(), beam_unroll(),
-                   pallas_topk.use_fused_logp())(
+                   pallas_topk.use_fused_logp(), _kernel_variant())(
         params, feats=feats, feat_lens=feat_lens)
 
 
@@ -346,7 +367,7 @@ def select_best(res: BeamResult, length_weight: float) -> BestResult:
 
 @functools.lru_cache(maxsize=32)
 def _jitted_best(cfg: Config, bw: int, use_pallas: bool, unroll: int,
-                 fused_logp: bool):
+                 fused_logp: bool, variant=None):
     def fn(params, feats, feat_lens):
         res = beam_decode(params, cfg, bw, feats, feat_lens,
                           use_pallas=use_pallas, unroll=unroll,
@@ -360,7 +381,8 @@ def beam_decode_best_jit(params, cfg: Config, bw: int, feats,
     """Fused decode + on-device best-hypothesis selection (the fast path
     for transcription without second-pass rescoring)."""
     return _jitted_best(cfg, bw, pallas_topk.use_pallas_topk(),
-                        beam_unroll(), pallas_topk.use_fused_logp())(
+                        beam_unroll(), pallas_topk.use_fused_logp(),
+                        _kernel_variant())(
         params, feats, feat_lens)
 
 

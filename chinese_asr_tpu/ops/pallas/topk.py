@@ -94,7 +94,7 @@ GROUP_LEVELS = 5  # per-group candidates S; fallback iff a group exhausts
 
 
 def _kernel_grouped(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int,
-                    levels: int):
+                    levels: int, onepass: bool = False):
     """Two-level extraction (round 3, PERF lever #1: the flat kernel's k
     full [BR, Vp] sweeps are 29% of the decode pipeline).
 
@@ -130,7 +130,55 @@ def _kernel_grouped(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int,
     neg_inf = jnp.float32(-jnp.inf)
     key = jnp.where(col >= n_valid, neg_inf,
                     jnp.where(jnp.isnan(x), jnp.float32(jnp.inf), x))
-    _extract_grouped(key, col, k, Vp, levels, vals_ref, idx_ref)
+    fn = _extract_grouped_onepass if onepass else _extract_grouped
+    fn(key, col, k, Vp, levels, vals_ref, idx_ref)
+
+
+def _extract_grouped_onepass(key, col, k: int, Vp: int, levels: int,
+                             vals_ref, idx_ref):
+    """One-pass variant of `_extract_grouped`: the S-level group phase
+    reads the [BR, Vp] block S times (S serialized sweeps); here each
+    lane-group maintains its running top-S as a sorted insertion network,
+    so the data is read ONCE and each slice costs one compare + four
+    selects per network stage.
+
+    Tie order falls out of the scan order: slices are processed in
+    ascending member (= column) order and insertion uses STRICT >, so an
+    equal value never displaces an earlier (lower-col) one — exactly the
+    min-col-among-maxima rule, with no column compares at all.
+
+    The network is SEEDED with phantoms (value -inf, col = member j's
+    column) so all--inf groups still emit their lowest-col members in
+    order (lax.top_k's -inf tie behavior).  A phantom can shadow a true
+    -inf candidate's column when its member turned out finite, so any
+    extraction that REACHES -inf (k-th pick == -inf) falls back to the
+    flat kernel — in the beam this happens only on the step-0 blocks
+    whose duplicate-beam rows are force-masked to -inf.
+    """
+    BR = key.shape[0]
+    M = Vp // 128
+    neg_inf = jnp.float32(-jnp.inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BR, 128), 1)
+    vs = [jnp.full((BR, 128), neg_inf, jnp.float32) for _ in range(levels)]
+    cs = [lane + j * 128 for j in range(levels)]
+    for m in range(M):
+        s = key[:, m * 128:(m + 1) * 128]                    # [BR, 128]
+        c = lane + m * 128
+        for j in range(levels):
+            b = s > vs[j]
+            vs[j], s = jnp.where(b, s, vs[j]), jnp.where(b, vs[j], s)
+            cs[j], c = jnp.where(b, c, cs[j]), jnp.where(b, cs[j], c)
+    cv = jnp.concatenate(vs, axis=1)                         # [BR, S*128]
+    cc = jnp.concatenate(cs, axis=1)
+    v_k, i_k = _extract_desc(cv, cc, k, Vp, vals_ref, idx_ref)
+    taken = (cv > v_k) | ((cv == v_k) & (cc <= i_k))
+    per_group = sum(taken[:, l * 128:(l + 1) * 128].astype(jnp.int32)
+                    for l in range(levels))                  # [BR, 128]
+    bad = jnp.any(per_group >= levels) | jnp.any(v_k == neg_inf)
+
+    @pl.when(bad)
+    def _fallback():
+        _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
 
 
 def _extract_grouped(key, col, k: int, Vp: int, levels: int,
@@ -182,8 +230,9 @@ def _extract_grouped(key, col, k: int, Vp: int, levels: int,
         _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _top_k_impl(x, k: int, interpret: bool, grouped: bool = False):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _top_k_impl(x, k: int, interpret: bool, grouped: bool = False,
+                onepass: bool = False):
     R, V = x.shape
     Vp = -(-V // 128) * 128
     if V < Vp:
@@ -202,7 +251,7 @@ def _top_k_impl(x, k: int, interpret: bool, grouped: bool = False):
     # group (so groups can't run dry) and candidates for every pick
     if grouped and Vp // 128 > GROUP_LEVELS and k <= 64:
         kernel = functools.partial(_kernel_grouped, k=k, n_valid=V,
-                                   levels=GROUP_LEVELS)
+                                   levels=GROUP_LEVELS, onepass=onepass)
     else:
         kernel = functools.partial(_kernel, k=k, n_valid=V)
     vals, idx = pl.pallas_call(
@@ -232,11 +281,19 @@ def use_grouped_topk() -> bool:
     return os.environ.get("CHINESE_ASR_TOPK_GROUPED", "1") != "0"
 
 
+def use_onepass_topk() -> bool:
+    """One-pass insertion-network group phase (reads the VMEM block once
+    instead of once per level).  CHINESE_ASR_TOPK_ONEPASS=0/1; default
+    follows the in-pipeline A/B measurement recorded in PERF.md."""
+    return os.environ.get("CHINESE_ASR_TOPK_ONEPASS", "0") != "0"
+
+
 def top_k(x, k: int, interpret: bool = False):
     """Exact top-k along the last axis of a 2-D f32 array."""
     assert x.ndim == 2, x.shape
     assert k <= x.shape[1], (k, x.shape)
-    return _top_k_impl(x, k, interpret, use_grouped_topk())
+    return _top_k_impl(x, k, interpret, use_grouped_topk(),
+                       use_onepass_topk())
 
 
 def use_fused_logp() -> bool:
@@ -270,7 +327,7 @@ def use_pallas_topk() -> bool:
 # --------------------------------------------------------------------------
 def _fused_kernel(x_ref, bias_ref, vals_ref, idx_ref, *, k: int,
                   n_valid: int, inv_temp_is_div: float,
-                  grouped: bool = False):
+                  grouped: bool = False, onepass: bool = False):
     """key = x / T - logsumexp(x / T) + bias, then exact top-k extraction.
 
     Same selection semantics as running the XLA logp transform and then
@@ -307,14 +364,15 @@ def _fused_kernel(x_ref, bias_ref, vals_ref, idx_ref, *, k: int,
     # mask is applied after the NaN-producing transform and wins there
     key = jnp.where(jnp.isneginf(bias), neg_inf, key)
     if grouped:
-        _extract_grouped(key, col, k, Vp, GROUP_LEVELS, vals_ref, idx_ref)
+        fn = _extract_grouped_onepass if onepass else _extract_grouped
+        fn(key, col, k, Vp, GROUP_LEVELS, vals_ref, idx_ref)
     else:
         _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool,
-                      grouped: bool = False):
+                      grouped: bool = False, onepass: bool = False):
     R, V = x.shape
     Vp = -(-V // 128) * 128
     if V < Vp:
@@ -329,7 +387,8 @@ def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool,
     grouped = grouped and Vp // 128 > GROUP_LEVELS and k <= 64
     vals, idx = pl.pallas_call(
         functools.partial(_fused_kernel, k=k, n_valid=V,
-                          inv_temp_is_div=temp, grouped=grouped),
+                          inv_temp_is_div=temp, grouped=grouped,
+                          onepass=onepass),
         grid=grid,
         in_specs=[pl.BlockSpec((BR, Vp), lambda r: (r, 0)),
                   pl.BlockSpec((BR, 1), lambda r: (r, 0))],
@@ -354,4 +413,4 @@ def top_k_fused(logit, bias, k: int, temp: float = 1.0,
         (logit.shape, bias.shape)
     assert k <= logit.shape[1], (k, logit.shape)
     return _top_k_fused_impl(logit, bias, k, float(temp), interpret,
-                             use_grouped_topk())
+                             use_grouped_topk(), use_onepass_topk())

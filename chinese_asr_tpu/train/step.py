@@ -93,7 +93,22 @@ def loss_fn(params, cfg: Config, batch: Batch,
     # the step can fold them into the params (grads don't flow into them:
     # running stats are a moving average, not a learned quantity)
     bn_updates = []
-    logits = forward_logits(params, cfg, batch, rng, cfg.train.ss, bn_updates)
+    # mixed precision (train.compute_dtype="bfloat16"): the cast sits
+    # INSIDE the differentiated function, so autodiff emits f32 gradients
+    # at the cast boundary while the whole forward/backward runs in bf16;
+    # master params / optimizer state / BN running stats stay f32
+    # (merge_bn_stats casts to the running buffer's dtype), and the
+    # softmax + CE below are computed from f32-cast logits
+    cd = jnp.dtype(cfg.train.compute_dtype)
+    fwd_params = params
+    if cd != jnp.float32:
+        fwd_params = jax.tree_util.tree_map(
+            lambda x: x.astype(cd)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        batch = batch._replace(feats=batch.feats.astype(cd))
+    logits = forward_logits(fwd_params, cfg, batch, rng, cfg.train.ss,
+                            bn_updates)
+    logits = logits.astype(jnp.float32)
     S = batch.tokens_out.shape[1]
     mask = (jnp.arange(S)[None, :] < batch.text_lens[:, None])
     loss = label_smoothed_ce(logits, batch.tokens_out, mask,
@@ -101,8 +116,9 @@ def loss_fn(params, cfg: Config, batch: Batch,
     acc = ((jnp.argmax(logits, -1) == batch.tokens_out) * mask).sum() / \
         jnp.maximum(mask.sum(), 1)
     # convert identity-keyed recordings to a structure-aligned tree HERE,
-    # inside the trace where `params`' dict identities are still valid
-    bn_tree = conv_ops.bn_stats_tree(params, bn_updates)
+    # inside the trace where the forward tree's dict identities are valid
+    # (recordings key on fwd_params' sub-dicts under mixed precision)
+    bn_tree = conv_ops.bn_stats_tree(fwd_params, bn_updates)
     bn_tree = jax.tree_util.tree_map(jax.lax.stop_gradient, bn_tree)
     return loss, {"accuracy": acc, "num_tokens": mask.sum(),
                   "bn_stats": bn_tree}

@@ -41,8 +41,14 @@ class Trainer:
                 cfg, self.tx, params, mesh)
             self._shard_batch = lambda b: sharding.shard_batch(b, cfg, mesh)
         else:
+            # donate params + opt_state (~190 MB at the flagship size):
+            # the step overwrites them anyway, donation lets XLA update in
+            # place instead of allocating fresh buffers.  CPU ignores
+            # donation with a warning, so only donate off-CPU.
+            donate = () if jax.default_backend() == "cpu" else (0, 1)
             jit_fn = jax.jit(functools.partial(
-                step_mod.train_step, cfg=cfg, tx=self.tx))
+                step_mod.train_step, cfg=cfg, tx=self.tx),
+                donate_argnums=donate)
             self._step_fn = lambda p, o, batch, rng: jit_fn(
                 p, o, batch=batch, rng=rng)
             self._shard_batch = lambda b: b

@@ -101,6 +101,18 @@ def test_batched_featurizer_matches_single():
         assert np.all(feats[i, s.shape[0]:] == 0.0)
 
 
+def test_deltas_stack3_fused_parity():
+    """The fused delta+stack path (deltas_stack3) must match the two-step
+    stack3(add_delta_deltas(.)) it replaced, batched and unbatched."""
+    rng = np.random.RandomState(7)
+    for shape in [(62, 80), (3, 62, 80), (2, 61, 80)]:
+        lm = rng.randn(*shape).astype(np.float32)
+        ref = np.asarray(feat.stack3(feat.add_delta_deltas(jnp.asarray(lm))))
+        got = np.asarray(feat.deltas_stack3(jnp.asarray(lm)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_instance_norm_matches_torch():
     rng = np.random.RandomState(3)
     x = rng.randn(50, 720).astype(np.float32)

@@ -79,13 +79,15 @@ def test_neg_inf_rows():
     assert (np.asarray(i)[0] == [0, 1, 2]).all()
 
 
+@pytest.mark.parametrize("onepass", ["0", "1"])
 @pytest.mark.parametrize("R,V,k", [(8, 5004, 17), (200, 1000, 9),
                                    (8, 64, 5)])
-def test_grouped_matches_lax_top_k(R, V, k, monkeypatch):
+def test_grouped_matches_lax_top_k(R, V, k, onepass, monkeypatch):
     """CHINESE_ASR_TOPK_GROUPED=1: the two-level grouped extraction must
     equal lax.top_k exactly (small V silently keeps the flat kernel —
-    still exact)."""
+    still exact), in both the multi-pass and one-pass group phases."""
     monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    monkeypatch.setenv("CHINESE_ASR_TOPK_ONEPASS", onepass)
     rng = np.random.RandomState(R + V + k)
     x = jnp.asarray(rng.randn(R, V).astype(np.float32))
     v_ref, i_ref = jax.lax.top_k(x, k)
@@ -94,11 +96,13 @@ def test_grouped_matches_lax_top_k(R, V, k, monkeypatch):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
-def test_grouped_exhausted_group_falls_back(monkeypatch):
+@pytest.mark.parametrize("onepass", ["0", "1"])
+def test_grouped_exhausted_group_falls_back(onepass, monkeypatch):
     """>levels of the top-k packed into ONE interleaved lane-group (cols
     = 7 mod 128) must trigger the in-kernel exhaustion fallback and stay
     exact — the candidate set alone cannot see the 6th element."""
     monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    monkeypatch.setenv("CHINESE_ASR_TOPK_ONEPASS", onepass)
     rng = np.random.RandomState(3)
     V, k = 5004, 17
     x = rng.randn(8, V).astype(np.float32)
@@ -110,11 +114,13 @@ def test_grouped_exhausted_group_falls_back(monkeypatch):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
-def test_grouped_ties_nan_neginf(monkeypatch):
+@pytest.mark.parametrize("onepass", ["0", "1"])
+def test_grouped_ties_nan_neginf(onepass, monkeypatch):
     """Grouped mode keeps lax.top_k's full total order: ties -> lower
     col (including ties INSIDE one group, which span candidate levels),
     NaN above everything, all--inf rows yield ascending cols."""
     monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    monkeypatch.setenv("CHINESE_ASR_TOPK_ONEPASS", onepass)
     V, k = 1000, 6
     x = np.zeros((4, V), np.float32)
     x[0, [5, 133, 261, 700]] = 7.0       # cols 5/133/261 share group 5
@@ -127,6 +133,27 @@ def test_grouped_ties_nan_neginf(monkeypatch):
     f = np.isfinite(np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(v)[f], np.asarray(v_ref)[f])
     assert np.isnan(np.asarray(v)[1, 0]) and int(np.asarray(i)[1, 0]) == 11
+
+
+def test_grouped_onepass_phantom_seed_fallback(monkeypatch):
+    """One-pass-specific: a row with fewer than k finite values makes
+    -inf reach the k-th pick — the phantom seeds (col = member j even
+    when member j turned out finite) could then shadow the true -inf
+    column order, so the kernel must fall back to the flat extraction
+    and stay exactly lax.top_k."""
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    monkeypatch.setenv("CHINESE_ASR_TOPK_ONEPASS", "1")
+    V, k = 1000, 6
+    x = np.full((4, V), -np.inf, np.float32)
+    x[0, [0, 1, 2]] = [3.0, 2.0, 1.0]     # finite member-0s, -inf top-k tail
+    x[1, [130, 750]] = [5.0, 4.0]
+    x[2, 999] = 9.0
+    x[3, :] = np.linspace(0, 1, V, dtype=np.float32)  # control: no -inf
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+    v, i = pallas_topk.top_k(jnp.asarray(x), k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    f = np.isfinite(np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(v)[f], np.asarray(v_ref)[f])
 
 
 @pytest.mark.parametrize("R,V,k,temp", [(8, 64, 5, 1.0), (6, 100, 4, 1.3),

@@ -93,6 +93,39 @@ def test_train_step_overfits_tiny_batch():
     assert not bool(metrics["skipped"])
 
 
+def test_train_step_mixed_precision_bf16():
+    """train.compute_dtype="bfloat16": fwd/bwd in bf16, but master params
+    and optimizer state stay f32, losses track the f32 run, and the model
+    still overfits the tiny batch."""
+    cfg = SMALL.with_("train", compute_dtype="bfloat16")
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train)
+    opt_state = tx.init(params)
+    batch = make_batch(cfg)
+    step = jax.jit(lambda p, o, b: train_step(p, o, cfg, tx, b))
+    step_f32 = jax.jit(lambda p, o, b: train_step(p, o, SMALL, tx, b))
+
+    # first-step loss within bf16 rounding of the f32 loss
+    _, _, m_bf = step(params, opt_state, batch)
+    _, _, m_f32 = step_f32(params, opt_state, batch)
+    assert abs(float(m_bf["loss"]) - float(m_f32["loss"])) < 0.05, \
+        (float(m_bf["loss"]), float(m_f32["loss"]))
+
+    first = None
+    for _ in range(30):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last) and last < first * 0.7, (first, last)
+    # master weights and optimizer state never leave f32
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    for leaf in jax.tree_util.tree_leaves(opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+
+
 def test_train_step_skips_nonfinite():
     cfg = SMALL
     params = las.init_params(jax.random.PRNGKey(0), cfg)
