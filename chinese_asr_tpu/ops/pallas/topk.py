@@ -283,9 +283,11 @@ def use_grouped_topk() -> bool:
 
 def use_onepass_topk() -> bool:
     """One-pass insertion-network group phase (reads the VMEM block once
-    instead of once per level).  CHINESE_ASR_TOPK_ONEPASS=0/1; default
-    follows the in-pipeline A/B measurement recorded in PERF.md."""
-    return os.environ.get("CHINESE_ASR_TOPK_ONEPASS", "0") != "0"
+    instead of once per candidate level).  Default ON since the
+    in-pipeline A/B on v5e: 50.3-50.6 vs 56.2-61.7 ms/batch at B=128,
+    bw=16 (bit-identical outputs; PERF.md).  CHINESE_ASR_TOPK_ONEPASS=0
+    restores the multi-pass group phase."""
+    return os.environ.get("CHINESE_ASR_TOPK_ONEPASS", "1") != "0"
 
 
 def top_k(x, k: int, interpret: bool = False):
