@@ -51,6 +51,30 @@ def test_sharded_train_step_matches_single_device():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_train_step_mixed_precision():
+    """bf16 mixed precision must compose with the mesh train step: the
+    sharded bf16 loss tracks the single-device bf16 loss and master
+    params stay f32 on the mesh."""
+    cfg = mesh_cfg().with_("train", compute_dtype="bfloat16")
+    mesh = sharding.make_mesh(cfg)
+    params = las.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(cfg.train)
+    batch = make_batch(cfg, B=8)
+
+    _, _, m1 = jax.jit(
+        lambda p, o, b: train_step(p, o, cfg, tx, b))(params, tx.init(params),
+                                                      batch)
+    sp = sharding.shard_params(params, cfg, mesh)
+    step = sharding.make_sharded_train_step(cfg, tx, params, mesh)
+    p2, _, m2 = step(sp, tx.init(sp), sharding.shard_batch(batch, cfg, mesh),
+                     None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-2)
+    assert np.isfinite(float(m2["loss"]))
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+
 def test_sharded_greedy_matches_single_device():
     cfg = mesh_cfg()
     mesh = sharding.make_mesh(cfg)
