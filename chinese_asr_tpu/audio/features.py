@@ -198,6 +198,9 @@ def deltas_stack3(feat):
     _, _, _, taps = _constants(AudioConfig())             # taps independent of cfg
     T = feat.shape[-2]
     T3 = T // 3
+    if T3 == 0:                                           # < one output frame
+        lead = feat.shape[:-2]
+        return jnp.zeros(lead + (0, 9 * feat.shape[-1]), feat.dtype)
     x = jnp.pad(feat, [(0, 0)] * (feat.ndim - 2) + [(4, 4), (0, 0)])
     comps = []
     for c in range(3):

@@ -107,12 +107,20 @@ def get_initial_state(p: Params, dcfg: DecoderConfig, bsz: int, enc_state,
 
 def decoder_step(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionConfig,
                  mask, keys, values, token, cell_state, attn_hidden_state,
-                 compute_logit: bool = True) -> DecoderOut:
-    """Reference decoder.py:94-137. token [B] int32."""
+                 compute_logit: bool = True, token_emb=None) -> DecoderOut:
+    """Reference decoder.py:94-137. token [B] int32.
+
+    ``token_emb`` [B, E]: pre-embedded input (the teacher-forced trainer
+    hoists the whole [B, S] embedding out of its scan as one MXU matmul);
+    when given, ``token`` is ignored.
+    """
     # one-hot matmul beats a row gather on TPU (and its gradient is the
     # same sparse outer product)
     emb = p["embedding"]
-    x = jax.nn.one_hot(token, emb.shape[0], dtype=emb.dtype) @ emb
+    if token_emb is not None:
+        x = token_emb
+    else:
+        x = jax.nn.one_hot(token, emb.shape[0], dtype=emb.dtype) @ emb
     ctx_size = values.shape[-1] if acfg.attn_type != "L" else acfg.attn_hidden_size
     if dcfg.input_feeding:
         if attn_hidden_state is None:

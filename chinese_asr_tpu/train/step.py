@@ -63,27 +63,56 @@ def forward_logits(params, cfg: Config, batch: Batch,
 
     use_ss = ss > 0.0 and rng is not None
     if use_ss:
+        # scheduled sampling needs each step's logits INSIDE the scan
+        # (the model's own argmax feeds step t+1), so nothing can hoist
         step_keys = jax.random.split(rng, S)
-    else:
-        step_keys = jnp.zeros((S, 2), jnp.uint32)
 
-    def body(carry, inp):
-        cell_state, attn_hidden, prev_pred = carry
-        gold_tok, key, t = inp
-        if use_ss:
+        def body(carry, inp):
+            cell_state, attn_hidden, prev_pred = carry
+            gold_tok, key, t = inp
             coin = jax.random.bernoulli(key, ss, (B,))
             tok = jnp.where(coin & (t > 0), prev_pred, gold_tok)
-        else:
-            tok = gold_tok
-        out = dec_ops.decoder_step(
-            params["decoder"], params["attention"], dcfg, acfg,
-            eb.mask, eb.keys, eb.values, tok, cell_state, attn_hidden)
-        pred = jnp.argmax(out.logit, axis=-1).astype(jnp.int32)
-        return (out.cell_state, out.attn_hidden_state, pred), out.logit
+            out = dec_ops.decoder_step(
+                params["decoder"], params["attention"], dcfg, acfg,
+                eb.mask, eb.keys, eb.values, tok, cell_state, attn_hidden)
+            pred = jnp.argmax(out.logit, axis=-1).astype(jnp.int32)
+            return (out.cell_state, out.attn_hidden_state, pred), out.logit
 
-    xs = (jnp.swapaxes(batch.tokens_in, 0, 1), step_keys,
-          jnp.arange(S, dtype=jnp.int32))
-    _, logits = jax.lax.scan(body, (cell0, attn0, batch.tokens_in[:, 0]), xs)
+        xs = (jnp.swapaxes(batch.tokens_in, 0, 1), step_keys,
+              jnp.arange(S, dtype=jnp.int32))
+        _, logits = jax.lax.scan(body, (cell0, attn0, batch.tokens_in[:, 0]),
+                                 xs)
+        return jnp.swapaxes(logits, 0, 1)                  # [B, S, V]
+
+    # teacher forcing (the flagship regime, ss=0): inputs are gold tokens
+    # known upfront, so the per-step embedding and logit matmuls hoist OUT
+    # of the scan into two big MXU products — the scan emits only the
+    # [S, B, H(+ctx)] hidden trajectory instead of [S, B, V] logits (40
+    # launch-bound [B, .] matmuls each way become one [S*B, .] product,
+    # and the saved residual shrinks ~5x)
+    dp = params["decoder"]
+    emb = dp["embedding"]
+    emb_seq = jax.nn.one_hot(batch.tokens_in, emb.shape[0],
+                             dtype=emb.dtype) @ emb        # [B, S, E]
+
+    def body(carry, x_emb):
+        cell_state, attn_hidden = carry
+        out = dec_ops.decoder_step(
+            dp, params["attention"], dcfg, acfg,
+            eb.mask, eb.keys, eb.values, None, cell_state, attn_hidden,
+            compute_logit=False, token_emb=x_emb)
+        last = out.cell_state[-1]
+        last_h = last[0] if dcfg.decoder_type == "LSTM" else last
+        return ((out.cell_state, out.attn_hidden_state),
+                (last_h, out.attn_hidden_state))
+
+    _, (h_seq, ahs_seq) = jax.lax.scan(body, (cell0, attn0),
+                                       jnp.swapaxes(emb_seq, 0, 1))
+    if acfg.attn_type == "B":
+        proj_in = jnp.concatenate([h_seq, ahs_seq], axis=-1)  # [S, B, H+ctx]
+    else:
+        proj_in = ahs_seq
+    logits = proj_in @ dp["proj_w"] + dp["proj_b"]         # [S, B, V]
     return jnp.swapaxes(logits, 0, 1)                      # [B, S, V]
 
 

@@ -105,7 +105,8 @@ def test_deltas_stack3_fused_parity():
     """The fused delta+stack path (deltas_stack3) must match the two-step
     stack3(add_delta_deltas(.)) it replaced, batched and unbatched."""
     rng = np.random.RandomState(7)
-    for shape in [(62, 80), (3, 62, 80), (2, 61, 80)]:
+    for shape in [(62, 80), (3, 62, 80), (2, 61, 80),
+                  (2, 80), (1, 80)]:       # T < 3: zero output frames
         lm = rng.randn(*shape).astype(np.float32)
         ref = np.asarray(feat.stack3(feat.add_delta_deltas(jnp.asarray(lm))))
         got = np.asarray(feat.deltas_stack3(jnp.asarray(lm)))

@@ -93,6 +93,38 @@ def test_train_step_overfits_tiny_batch():
     assert not bool(metrics["skipped"])
 
 
+def test_forward_logits_hoisted_matches_stepwise():
+    """The teacher-forced (ss=0) path hoists the embedding and logit
+    matmuls out of the scan; its logits must match an explicit per-step
+    decoder_step loop with gold tokens."""
+    from chinese_asr_tpu.models import decoder as dec_ops
+    from chinese_asr_tpu.train.step import forward_logits
+
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(cfg, seed=5)
+    got = np.asarray(forward_logits(params, cfg, batch))
+
+    eb = las.encode(params, cfg, batch.feats, batch.feat_lens, train=True)
+    B, S = batch.tokens_in.shape
+    dcfg, acfg = cfg.decoder, cfg.attention
+    ctx = dec_ops.attn_hidden_width(acfg, eb.values.shape[-1])
+    cell = eb.init_cell_state
+    if cell is None:
+        z = jnp.zeros((B, dcfg.hidden_size), batch.feats.dtype)
+        cell = [(z, z) if dcfg.decoder_type == "LSTM" else z] * dcfg.num_layers
+    attn = jnp.zeros((B, ctx), batch.feats.dtype)
+    ref = []
+    for t in range(S):
+        out = dec_ops.decoder_step(
+            params["decoder"], params["attention"], dcfg, acfg,
+            eb.mask, eb.keys, eb.values, batch.tokens_in[:, t], cell, attn)
+        cell, attn = out.cell_state, out.attn_hidden_state
+        ref.append(np.asarray(out.logit))
+    ref = np.stack(ref, axis=1)                            # [B, S, V]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_train_step_mixed_precision_bf16():
     """train.compute_dtype="bfloat16": fwd/bwd in bf16, but master params
     and optimizer state stay f32, losses track the f32 run, and the model
