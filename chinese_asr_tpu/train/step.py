@@ -89,7 +89,10 @@ def forward_logits(params, cfg: Config, batch: Batch,
     # of the scan into two big MXU products — the scan emits only the
     # [S, B, H(+ctx)] hidden trajectory instead of [S, B, V] logits (40
     # launch-bound [B, .] matmuls each way become one [S*B, .] product,
-    # and the saved residual shrinks ~5x)
+    # and the saved residual shrinks ~5x).  The reference's own train
+    # loop does the same hoist in its no-ss branch (it stacks cell_states
+    # / attn_hidden_states and projects once — model.py:456-470); the
+    # embedding-side hoist is ours.
     dp = params["decoder"]
     emb = dp["embedding"]
     emb_seq = jax.nn.one_hot(batch.tokens_in, emb.shape[0],

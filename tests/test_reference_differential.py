@@ -306,3 +306,66 @@ def test_export_loads_into_reference_model(ref):
                                        tlens, INT2WORD)
     assert r1.pred_text == r2.pred_text
     np.testing.assert_allclose(r1.score, r2.score, rtol=0, atol=1e-6)
+
+
+def test_train_forward_loss_matches_reference(ref):
+    """Teacher-forced label-smoothed training loss vs the reference's
+    LIVE ops (encoder -> per-step decoder -> ``label_smoothing``
+    criterion), following the structure of its commented train loop
+    (model.py:414-470).  Equal target lengths make the reference's
+    shrinking packed batch a constant dense batch, so the comparison is
+    exact; this also pins our hoisted-scan ``forward_logits`` against the
+    reference decoder chain end to end."""
+    import jax
+    import jax.numpy as jnp
+    from chinese_asr_tpu.train.loss import label_smoothed_ce
+    from chinese_asr_tpu.train.step import Batch, forward_logits
+
+    feats, lens = _inputs()
+    B = len(lens)
+    S = 5
+    rng = np.random.RandomState(11)
+    text = rng.randint(4, V, size=(B, S - 1))
+    sos, eos = CFG.vocab.sos, CFG.vocab.eos
+    tokens_in = np.concatenate([np.full((B, 1), sos), text], 1).astype(np.int32)
+    tokens_out = np.concatenate([text, np.full((B, 1), eos)], 1).astype(np.int32)
+
+    # ---- reference side: live code, driven like the commented loop ----
+    m = ref.model
+    m.model.eval()
+    data, tlens = _ref_data(feats, lens)
+    with torch.no_grad():
+        enc_outputs, enc_len, cell_state = m.encoder(data, tlens)
+        mask = ref.mod.get_mask_for_softmax(enc_len)
+        cell_state = m.decoder.get_initial_state(tlens.size(0), cell_state)
+        keys, values = m.attn_mechanism.compute_key_value(enc_outputs)
+        attn_hidden_state = None
+        step_logits = []
+        for t in range(S):
+            tok = torch.from_numpy(tokens_in[:, t].astype(np.int64))
+            dec_out = m.decoder(enc_outputs, mask, keys, values, tok,
+                                cell_state, attn_hidden_state,
+                                compute_logit=True)
+            cell_state = dec_out.cell_state
+            attn_hidden_state = dec_out.attn_hidden_state
+            step_logits.append(dec_out.logit)
+        logits = torch.cat(step_logits, dim=0)             # step-major [S*B, V]
+        tgt = torch.from_numpy(tokens_out.T.reshape(-1).astype(np.int64))
+        ref_loss = float(m.criterion(logits, tgt).mean())
+
+    # ---- our side: the compiled train forward + loss ----
+    batch = Batch(jnp.asarray(feats), jnp.asarray(lens),
+                  jnp.asarray(tokens_in), jnp.asarray(tokens_out),
+                  jnp.asarray(np.full(B, S, np.int32)))
+    our_logits = forward_logits(ref.params, CFG, batch)    # hoisted path
+    smask = jnp.ones((B, S), bool)
+    our_loss = float(label_smoothed_ce(our_logits, batch.tokens_out, smask,
+                                       CFG.train.label_smooth))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=1e-5, atol=1e-5)
+
+    # gradients flow and are finite through the same path
+    g = jax.grad(lambda p: label_smoothed_ce(
+        forward_logits(p, CFG, batch), batch.tokens_out, smask,
+        CFG.train.label_smooth))(ref.params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
