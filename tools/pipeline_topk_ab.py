@@ -107,6 +107,26 @@ def main() -> None:
             return beam.select_best(res, cfg.decode.length_weight)
         return pipe
 
+    def build_multipass():
+        # one-pass insertion-network group phase is the kernel default
+        # now; pin the MULTI-PASS grouped extraction here
+        from chinese_asr_tpu.ops.pallas import topk as pallas_topk
+
+        @jax.jit
+        def pipe(params, wavs, wav_lens):
+            f, fl = features.featurize_batch(wavs, wav_lens, cfg.audio)
+            orig = pallas_topk.top_k
+            pallas_topk.top_k = (                       # trace-time swap
+                lambda x, k, interpret=False:
+                pallas_topk._top_k_impl(x, k, interpret, True, False))
+            try:
+                res = beam.beam_decode(params, cfg, args.bw, f, fl,
+                                       use_pallas=True)
+            finally:
+                pallas_topk.top_k = orig
+            return beam.select_best(res, cfg.decode.length_weight)
+        return pipe
+
     def build_fused():
         # fused logp+top-k stage-1 (CHINESE_ASR_PALLAS_FUSED path); the
         # extraction inside follows the grouped default
@@ -119,6 +139,7 @@ def main() -> None:
         return pipe
 
     variants = {"pallas_topk": build(True), "pallas_flat": build_flat(),
+                "pallas_multipass": build_multipass(),
                 "pallas_fused": build_fused(),
                 "approx_max_k": build(False), "lax_top_k": build_laxtopk()}
     outs = {}
