@@ -135,6 +135,37 @@ def test_grouped_ties_nan_neginf(onepass, monkeypatch):
     assert np.isnan(np.asarray(v)[1, 0]) and int(np.asarray(i)[1, 0]) == 11
 
 
+@pytest.mark.parametrize("onepass", ["0", "1"])
+def test_grouped_tie_heavy_fuzz(onepass, monkeypatch):
+    """Adversarial fuzz: values drawn from a tiny integer set (massive
+    tie groups spanning lanes, members, and candidate levels), random
+    -inf/NaN contamination, random shapes — exact lax.top_k total order
+    must hold elementwise for both group-phase variants."""
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    monkeypatch.setenv("CHINESE_ASR_TOPK_ONEPASS", onepass)
+    rng = np.random.RandomState(int(onepass) + 100)
+    for trial in range(6):
+        R = int(rng.randint(1, 9))
+        V = int(rng.randint(650, 1400))          # M > GROUP_LEVELS
+        k = int(rng.randint(1, 20))
+        x = rng.randint(0, 4, size=(R, V)).astype(np.float32)
+        # contaminate: whole -inf rows, random -inf cells, a NaN or two
+        if trial % 2:
+            x[rng.randint(R)] = -np.inf
+        x[rng.rand(R, V) < 0.1] = -np.inf
+        if trial % 3 == 0:
+            x[rng.randint(R), rng.randint(V)] = np.nan
+        v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+        v, i = pallas_topk.top_k(jnp.asarray(x), k, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(i), np.asarray(i_ref),
+            err_msg=f"trial {trial} R={R} V={V} k={k}")
+        f = np.isfinite(np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(v)[f], np.asarray(v_ref)[f])
+        np.testing.assert_array_equal(np.isnan(np.asarray(v)),
+                                      np.isnan(np.asarray(v_ref)))
+
+
 def test_grouped_onepass_phantom_seed_fallback(monkeypatch):
     """One-pass-specific: a row with fewer than k finite values makes
     -inf reach the k-th pick — the phantom seeds (col = member j even
