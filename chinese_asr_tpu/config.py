@@ -187,6 +187,11 @@ class TrainConfig:
     # the CE loss stay float32 either way (no reference counterpart — the
     # reference trains f32 on GPU; on TPU bf16 doubles MXU throughput)
     compute_dtype: str = "float32"
+    # rematerialize the decoder scan body in the backward pass
+    # (jax.checkpoint): trades ~1 extra decoder forward for dropping the
+    # per-step attention/gate residuals — headroom for large batch x long
+    # utterances on a 16 GB chip (no reference counterpart)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

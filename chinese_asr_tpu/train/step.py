@@ -78,6 +78,8 @@ def forward_logits(params, cfg: Config, batch: Batch,
             pred = jnp.argmax(out.logit, axis=-1).astype(jnp.int32)
             return (out.cell_state, out.attn_hidden_state, pred), out.logit
 
+        if cfg.train.remat:
+            body = jax.checkpoint(body)
         xs = (jnp.swapaxes(batch.tokens_in, 0, 1), step_keys,
               jnp.arange(S, dtype=jnp.int32))
         _, logits = jax.lax.scan(body, (cell0, attn0, batch.tokens_in[:, 0]),
@@ -109,6 +111,10 @@ def forward_logits(params, cfg: Config, batch: Batch,
         return ((out.cell_state, out.attn_hidden_state),
                 (last_h, out.attn_hidden_state))
 
+    if cfg.train.remat:
+        # drop the per-step attention/gate residuals; the backward pass
+        # recomputes each decoder step from its (tiny) carry instead
+        body = jax.checkpoint(body)
     _, (h_seq, ahs_seq) = jax.lax.scan(body, (cell0, attn0),
                                        jnp.swapaxes(emb_seq, 0, 1))
     if acfg.attn_type == "B":

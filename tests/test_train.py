@@ -93,6 +93,36 @@ def test_train_step_overfits_tiny_batch():
     assert not bool(metrics["skipped"])
 
 
+def test_train_remat_matches_no_remat():
+    """train.remat=True (jax.checkpoint on the decoder scan body) must
+    leave loss AND gradients identical — it only changes what the
+    backward pass stores vs recomputes."""
+    from chinese_asr_tpu.train.step import loss_fn as lf
+
+    cfg_r = SMALL.with_("train", remat=True)
+    params = las.init_params(jax.random.PRNGKey(2), cfg_r)
+    batch = make_batch(cfg_r, seed=9)
+
+    def scalar(cfg):
+        return lambda p: lf(p, cfg, batch)[0]
+
+    l0, g0 = jax.value_and_grad(scalar(SMALL))(params)
+    l1, g1 = jax.value_and_grad(scalar(cfg_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # and through the ss>0 (scheduled-sampling) scan as well
+    cfg_ss = SMALL.with_("train", ss=0.3)
+    cfg_ss_r = SMALL.with_("train", ss=0.3, remat=True)
+    rng = jax.random.PRNGKey(4)
+    l2 = float(lf(params, cfg_ss, batch, rng)[0])
+    l3 = float(lf(params, cfg_ss_r, batch, rng)[0])
+    np.testing.assert_allclose(l2, l3, rtol=1e-6)
+
+
 def test_forward_logits_hoisted_matches_stepwise():
     """The teacher-forced (ss=0) path hoists the embedding and logit
     matmuls out of the scan; its logits must match an explicit per-step
