@@ -83,6 +83,8 @@ def main() -> None:
             x, k, False, False),
         "pallas_grouped": lambda x: pallas_topk._top_k_impl(
             x, k, False, True),
+        "pallas_onepass": lambda x: pallas_topk._top_k_impl(
+            x, k, False, True, True),
     }
 
     ref_v, ref_i = jax.lax.top_k(x, k)
