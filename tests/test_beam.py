@@ -356,6 +356,32 @@ def test_unrolled_loop_identical_to_single_step(unroll):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("onepass", ["0", "1"])
+def test_pallas_topk_in_full_beam_matches_xla(onepass, monkeypatch):
+    """The TPU-default stage-1 path (Pallas top-k, grouped extraction,
+    both group-phase variants) wired through the FULL beam decode must
+    reproduce the XLA approx_max_k path exactly — interpret mode makes
+    the kernel runnable on the CPU suite, closing the gap where the
+    product default was only ever exercised kernel-level here."""
+    import functools
+    from chinese_asr_tpu.ops.pallas import topk as pallas_topk
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "1")
+    monkeypatch.setenv("CHINESE_ASR_TOPK_ONEPASS", onepass)
+    monkeypatch.setattr(pallas_topk, "top_k",
+                        functools.partial(pallas_topk.top_k,
+                                          interpret=True))
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(9), cfg)
+    feats, lens = make_inputs(cfg, 3, B=3)
+    r0 = beam.beam_decode(params, cfg, 4, jnp.asarray(feats),
+                          jnp.asarray(lens), use_pallas=False)
+    r1 = beam.beam_decode(params, cfg, 4, jnp.asarray(feats),
+                          jnp.asarray(lens), use_pallas=True)
+    for a, b in zip(r0, r1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_fused_logp_option_matches_default(monkeypatch):
     """The opt-in fused logp+top-k stage (CHINESE_ASR_PALLAS_FUSED) must
     reproduce the default path exactly when both run the same backend
