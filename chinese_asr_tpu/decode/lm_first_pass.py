@@ -36,9 +36,9 @@ class _StepOut(NamedTuple):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_step(cfg: Config, topn: int, use_pallas: bool):
-    # use_pallas in the cache key: env-override flips take effect (same
-    # rule as decode/beam._jitted)
+def _make_step(cfg: Config, topn: int, use_pallas: bool, variant=None):
+    # use_pallas AND the extraction-variant envs join the cache key:
+    # env-override flips take effect (same rule as decode/beam._jitted)
     dcfg, acfg = cfg.decoder, cfg.attention
 
     @jax.jit
@@ -83,7 +83,9 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     cand = 2 * k
 
     eb = las.encode(params, cfg, feats, feat_lens)
-    step = _make_step(cfg, topn, pallas_topk.use_pallas_topk())
+    step = _make_step(cfg, topn, pallas_topk.use_pallas_topk(),
+                      (pallas_topk.use_grouped_topk(),
+                       pallas_topk.use_onepass_topk()))
 
     cell = eb.init_cell_state
     if cell is None:

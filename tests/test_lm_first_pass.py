@@ -125,7 +125,8 @@ def test_step_jit_cached_across_calls(tmp_path):
     info = lm_first_pass._make_step.cache_info()
     assert info.misses == 1
     step = lm_first_pass._make_step(
-        cfg, 6, pallas_topk.use_pallas_topk())
+        cfg, 6, pallas_topk.use_pallas_topk(),
+        (pallas_topk.use_grouped_topk(), pallas_topk.use_onepass_topk()))
     traces0 = step._cache_size()
 
     lm_first_pass.lm_first_pass_decode(params, cfg, 2, feats, lens, lm,
@@ -133,7 +134,9 @@ def test_step_jit_cached_across_calls(tmp_path):
     info = lm_first_pass._make_step.cache_info()
     assert info.misses == 1                      # same closure reused
     assert lm_first_pass._make_step(
-        cfg, 6, pallas_topk.use_pallas_topk()) is step
+        cfg, 6, pallas_topk.use_pallas_topk(),
+        (pallas_topk.use_grouped_topk(),
+         pallas_topk.use_onepass_topk())) is step
     assert step._cache_size() == traces0         # zero new jit traces
 
 
