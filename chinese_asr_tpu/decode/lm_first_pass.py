@@ -51,8 +51,8 @@ def _make_step(cfg: Config, topn: int, use_pallas: bool, variant=None):
         # (pallas) return bit-identical f32 top_logit under bf16 compute
         logit = out.logit.astype(jnp.float32) / dcfg.temperature
         if use_pallas:
-            # same fused kernel as decode/beam.py — identical semantics to
-            # lax.top_k (exact, lower-index tie break), 1 HBM stream
+            # same Pallas kernel as decode/beam.py — identical semantics
+            # to lax.top_k (exact, lower-index tie break), 1 HBM stream
             top_logit, top_tokens = pallas_topk.top_k(logit, topn)
         else:
             top_logit, top_tokens = jax.lax.top_k(logit, topn)

@@ -108,3 +108,74 @@ def test_metadata(lm_cpp):
     assert lm_cpp.order == 3
     assert lm_cpp.num_ngrams() == 11
     assert ngram.load_lm(None) is None
+
+
+def _random_arpa(tmp_path, rng, idx):
+    """Structurally randomized ARPA: random vocab, random logprobs and
+    backoffs, and PRUNED HOLES (higher-order grams whose lower-order
+    context may be absent are never written — but random subsets force
+    backoff-through-missing-context paths constantly)."""
+    order = int(rng.randint(2, 4))
+    vocab = [f"w{i}" for i in range(int(rng.randint(3, 7)))]
+    uni = ["<unk>", "<s>", "</s>"] + vocab
+
+    def lp():
+        return round(float(-rng.rand() * 4 - 0.05), 4)
+
+    grams = {1: [], 2: [], 3: []}
+    for w in uni:
+        bo = f"\t{lp()}" if order > 1 and rng.rand() < 0.8 else ""
+        grams[1].append(f"{lp()}\t{w}{bo}")
+    toks = ["<s>", "</s>"] + vocab
+    seen2 = set()
+    for _ in range(int(rng.randint(3, 12))):
+        a, b = rng.choice(toks), rng.choice(vocab + ["</s>"])
+        if (a, b) in seen2 or a == "</s>":
+            continue
+        seen2.add((a, b))
+        bo = f"\t{lp()}" if order > 2 and rng.rand() < 0.7 else ""
+        grams[2].append(f"{lp()}\t{a} {b}{bo}")
+    if order > 2:
+        seen3 = set()
+        for _ in range(int(rng.randint(2, 10))):
+            a, b = rng.choice(toks), rng.choice(vocab)
+            c = rng.choice(vocab + ["</s>"])
+            if (a, b, c) in seen3 or a == "</s>":
+                continue
+            seen3.add((a, b, c))
+            grams[3].append(f"{lp()}\t{a} {b} {c}")
+    lines = ["\\data\\"]
+    for o in range(1, order + 1):
+        lines.append(f"ngram {o}={len(grams[o])}")
+    lines.append("")
+    for o in range(1, order + 1):
+        lines += [f"\\{o}-grams:"] + grams[o] + [""]
+    lines += ["\\end\\", ""]
+    p = tmp_path / f"rand{idx}.arpa"
+    p.write_text("\n".join(lines))
+    return str(p), vocab
+
+
+def test_cpp_matches_python_on_random_arpas(tmp_path):
+    """Structural fuzz: random ARPAs (orders, pruned holes, missing
+    backoffs) — the C++ kernel, the Python oracle, and the binary-
+    roundtripped C++ model must agree on random sentences."""
+    rng = np.random.RandomState(42)
+    for idx in range(6):
+        path, vocab = _random_arpa(tmp_path, rng, idx)
+        cpp = ngram.NgramLM(path)
+        py = ngram.PyNgramLM(path)
+        blob = tmp_path / f"rand{idx}.klm"
+        cpp.write_binary(str(blob))
+        cpp2 = ngram.NgramLM(str(blob))
+        words = vocab + ["oovword", "<unk>"]
+        for _ in range(25):
+            n = int(rng.randint(1, 7))
+            s = " ".join(rng.choice(words) for _ in range(n))
+            bos = bool(rng.rand() < 0.5)
+            eos = bool(rng.rand() < 0.5)
+            ref = py.score(s, bos=bos, eos=eos)
+            got = cpp.score(s, bos=bos, eos=eos)
+            got2 = cpp2.score(s, bos=bos, eos=eos)
+            assert got == pytest.approx(ref, abs=1e-5), (idx, s, bos, eos)
+            assert got2 == pytest.approx(ref, abs=1e-5), (idx, s, bos, eos)
