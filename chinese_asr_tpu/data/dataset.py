@@ -193,9 +193,13 @@ class Loader:
 
 
 def make_train_loader(manifest_path: str, cfg: Config, vocab: Vocab,
-                      seed: int = 0) -> Loader:
+                      seed: int = 0, drop_last: bool = False) -> Loader:
+    """``drop_last=True`` for mesh (SPMD) training: every batch must
+    divide the data axis, so the remainder batch is dropped (one epoch's
+    tail, reshuffled into the next epoch)."""
     ds = AudioDataset(read_manifest(manifest_path), cfg, vocab, "train", seed)
-    return Loader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+    return Loader(ds, cfg.train.batch_size, shuffle=True, seed=seed,
+                  drop_last=drop_last)
 
 
 def make_eval_loader(manifest_path: str, cfg: Config, vocab: Vocab) -> Loader:

@@ -94,6 +94,14 @@ def shard_params(params, cfg: Config, mesh: Mesh):
 
 
 def shard_batch(batch: Batch, cfg: Config, mesh: Mesh) -> Batch:
+    dp = mesh.shape[cfg.mesh.data_axis]
+    B = batch.feats.shape[0]
+    if B % dp:
+        raise ValueError(
+            f"batch size {B} does not divide the data axis ({dp}); for "
+            f"mesh training build the loader with drop_last=True "
+            f"(data.make_train_loader) or pad the batch to a multiple "
+            f"of {dp}")
     return jax.device_put(batch, _named(mesh, batch_pspecs(cfg)))
 
 

@@ -119,8 +119,11 @@ def main(argv=None) -> int:
         tr.resume()
 
     def train_loader_fn():
+        # SPMD training: every batch must divide the data axis -> drop
+        # the epoch's remainder batch (reshuffled into later epochs)
         loader = dataset.make_train_loader(args.train_manifest, cfg, vocab,
-                                           seed=cfg.train.seed)
+                                           seed=cfg.train.seed,
+                                           drop_last=mesh is not None)
         return dataset.batches_to_device(loader, cfg)
 
     eval_loader_fn = None

@@ -45,6 +45,28 @@ def test_train_cli_end_to_end(tmp_path):
     assert cks, "no checkpoint written"
 
 
+def test_train_cli_mesh_auto(tmp_path):
+    """--mesh auto trains SPMD over the suite's 8 virtual CPU devices."""
+    from chinese_asr_tpu.train.__main__ import main
+
+    man = _write_corpus(tmp_path)
+    save = str(tmp_path / "ckpt")
+    cfg_json = str(tmp_path / "cfg.json")
+    from chinese_asr_tpu.config import Config
+    small = (Config()
+             .with_("encoder", hidden_size=16, num_layers=1)
+             .with_("decoder", hidden_size=32, embed_dim=12)
+             .with_("attention", attn_size=8)
+             .with_("mesh", data_parallel=4, model_parallel=2))
+    with open(cfg_json, "w") as f:
+        f.write(small.to_json())
+    rc = main(["--train-manifest", man, "--eval-manifest", man,
+               "--config", cfg_json, "--batch-size", "4", "--epochs", "1",
+               "--max-steps", "2", "--save-dir", save, "--mesh", "auto"])
+    assert rc == 0
+    assert any(f.endswith(".ckpt") for f in os.listdir(save))
+
+
 def test_train_cli_resume(tmp_path):
     from chinese_asr_tpu.train.__main__ import main
 
