@@ -9,9 +9,12 @@ pays per batch.
 Configs (BASELINE.md "configs to benchmark"):
   1. single-utterance greedy
   2. single-utterance beam bw=4
-  3. batched beam bw=16 (B=128, the v5e throughput knee)  <- HEADLINE
+  3. batched beam bw=16 (B=128, the v5e throughput knee) — reported both
+     serialized (per-batch latency) and SUSTAINED (batch i+1 dispatched
+     before batch i's host finalization blocks, the dispatch-ahead order
+     api.transcribe_wavs runs at; sustained is the HEADLINE)
   4. batched beam bw=16 + n-gram LM second pass (real ARPA via the C++
-     scorer, one batched score_batch call)
+     scorer, one batched score_batch call; sustained)
   5. high-batch padded-bucket offline transcription through the public
      ASR.transcribe_wavs API (mixed 4-10 s lengths, bucketed padding)
 
@@ -84,6 +87,31 @@ def _time_loop(fn, min_iters=3, min_secs=5.0, max_secs=60.0):
             return iters, elapsed
 
 
+def _time_pipelined(dispatch, finalize, min_iters=3, min_secs=5.0,
+                    max_secs=60.0):
+    """Sustained-throughput timing: batch i+1's device work is dispatched
+    BEFORE batch i's host finalization blocks — exactly the dispatch-ahead
+    order the product path uses (api.transcribe_wavs chunk loop), so the
+    ~25-30 ms device-tunnel round trip and the host finalization hide
+    behind device compute instead of serializing after it.  Each timed
+    iteration completes exactly one batch end-to-end once the 1-deep
+    pipeline is primed (the priming dispatch happens in warmup)."""
+    pend = dispatch()                      # warmup + prime the pipeline
+    finalize(pend)
+    pend = dispatch()
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        nxt = dispatch()
+        finalize(pend)
+        pend = nxt
+        iters += 1
+        elapsed = time.perf_counter() - t0
+        if (iters >= min_iters and elapsed > min_secs) or elapsed > max_secs:
+            finalize(pend)                 # drain (untimed)
+            return iters, elapsed
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -143,15 +171,26 @@ def main() -> None:
                 return beam.beam_decode(params, cfg, bw, f, fl)
         return p
 
-    def run_config(name, B, bw, secs, lm=None, run_params=None, dtype=None):
+    def run_config(name, B, bw, secs, lm=None, run_params=None, dtype=None,
+                   pipelined=False):
         wavs, lens = _mk_wavs(rng, B, secs)
         wavs_d, lens_d = jnp.asarray(wavs), jnp.asarray(lens)
         compact = bool(bw) and lm is None
         p = pipeline_fn(bw, dtype, compact)
         run_params = params if run_params is None else run_params
 
-        def once():
+        def dispatch():
             res = p(run_params, wavs_d, lens_d)
+            if not compact and bw:
+                # start the tiny fin_count transfer now so compact_nbest
+                # never stalls on it (mirrors api._decode_dispatch)
+                try:
+                    res.fin_count.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return res
+
+        def finalize(res):
             # host finalization INSIDE the timed region (VERDICT r1 weak #3)
             if not bw:
                 out = greedy.finalize_greedy(res, vocab)
@@ -166,7 +205,14 @@ def main() -> None:
                                          lm_weight=cfg.decode.lm_weight,
                                          length_weight=cfg.decode.length_weight)
             assert len(out.pred_text) == B
-        iters, elapsed = _time_loop(once, min_secs=0.2 if smoke else 5.0)
+
+        min_secs = 0.2 if smoke else 5.0
+        if pipelined:
+            iters, elapsed = _time_pipelined(dispatch, finalize,
+                                             min_secs=min_secs)
+        else:
+            iters, elapsed = _time_loop(lambda: finalize(dispatch()),
+                                        min_secs=min_secs)
         audio_s = float(lens.sum()) / SR * iters
         rows.append((name, B, bw or 1, audio_s / elapsed,
                      B * iters / elapsed, elapsed / iters))
@@ -176,15 +222,25 @@ def main() -> None:
     run_config("single_greedy", 1, None, 0.5 if smoke else 7.0)
     run_config("single_beam_bw4", 1, 4, 0.5 if smoke else 7.0)
 
-    # 3: headline — batched bw=16, end to end
-    headline = run_config("batched_bw16", BIG, 16, list(DUR))
+    # 3: headline — batched bw=16, end to end.  The serial row is the
+    # per-batch latency (device + round trip + host finalize, strictly
+    # sequential); the sustained row overlaps batch i's finalization with
+    # batch i+1's device work — the dispatch-ahead order the product path
+    # (api.transcribe_wavs) actually runs at, and therefore the serving
+    # throughput number.
+    run_config("batched_bw16", BIG, 16, list(DUR))
+    headline = run_config("batched_bw16_sust", BIG, 16, list(DUR),
+                          pipelined=True)
 
-    # 4: + n-gram second pass (batched C++ score_batch over the n-best)
+    # 4: + n-gram second pass (batched C++ score_batch over the n-best;
+    # sustained — the host-side LM rescore of batch i overlaps batch i+1's
+    # device decode, as in the product chunk loop)
     with tempfile.TemporaryDirectory() as td:
         arpa = os.path.join(td, "bench.arpa")
         _mk_arpa(arpa, vocab, rng)
         lm = ngram.load_lm(arpa)
-        run_config("batched_bw16_lm2p", BIG, 16, list(DUR), lm=lm)
+        run_config("batched_bw16_lm2p", BIG, 16, list(DUR), lm=lm,
+                   pipelined=True)
 
     # informational: the opt-in bf16 compute path (ASR compute_dtype;
     # score arithmetic stays f32 inside decode/ — not a parity config)
@@ -192,7 +248,7 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     run_config("batched_bw16_bf16", BIG, 16, list(DUR),
-               run_params=bf16_params, dtype=jnp.bfloat16)
+               run_params=bf16_params, dtype=jnp.bfloat16, pipelined=True)
 
     # 5: padded-bucket offline through the public API (mixed lengths)
     asr = ASR(cfg=cfg, bw=16)
