@@ -114,13 +114,16 @@ def decoder_step(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionConfig,
     hoists the whole [B, S] embedding out of its scan as one MXU matmul);
     when given, ``token`` is ignored.
     """
-    # one-hot matmul beats a row gather on TPU (and its gradient is the
-    # same sparse outer product)
+    # row gather: measured FASTER than the one-hot MXU product since the
+    # round-3 time-major layout rework (in-pipeline A/B, v5e, B=128/bw=16:
+    # 46.5 vs 47.9 ms/batch, 5/5 rounds, outputs bit-identical —
+    # tools/decoder_fuse_ab.py); the earlier claim the other way predates
+    # that rework
     emb = p["embedding"]
     if token_emb is not None:
         x = token_emb
     else:
-        x = jax.nn.one_hot(token, emb.shape[0], dtype=emb.dtype) @ emb
+        x = jnp.take(emb, token, axis=0)
     ctx_size = values.shape[-1] if acfg.attn_type != "L" else acfg.attn_hidden_size
     if dcfg.input_feeding:
         if attn_hidden_state is None:
@@ -158,10 +161,11 @@ def decoder_step_beam(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionCon
     """
     B = mask.shape[0]
     k = token.shape[0] // B
-    # one-hot matmul embedding: a [B*k]-row dynamic gather is slower than
-    # the [B*k, V] x [V, E] MXU product on TPU
+    # row-gather embedding (see decoder_step: beats the one-hot MXU
+    # product by ~3% of the whole pipeline post-layout-rework, outputs
+    # bit-identical)
     emb = p["embedding"]
-    x = jax.nn.one_hot(token, emb.shape[0], dtype=emb.dtype) @ emb
+    x = jnp.take(emb, token, axis=0)
     if dcfg.input_feeding:
         x = jnp.concatenate([x, attn_hidden_state], axis=1)
 
