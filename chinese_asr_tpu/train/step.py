@@ -72,9 +72,17 @@ def forward_logits(params, cfg: Config, batch: Batch,
             gold_tok, key, t = inp
             coin = jax.random.bernoulli(key, ss, (B,))
             tok = jnp.where(coin & (t > 0), prev_pred, gold_tok)
+            # embed via the one-hot MXU product HERE (not decoder_step's
+            # row gather): this path is differentiated, and the one-hot
+            # matmul's embedding gradient is a dense outer product while
+            # a gather's is a scatter-add (slow on TPU); forward values
+            # are bit-identical either way
+            emb = params["decoder"]["embedding"]
+            tok_emb = jax.nn.one_hot(tok, emb.shape[0], dtype=emb.dtype) @ emb
             out = dec_ops.decoder_step(
                 params["decoder"], params["attention"], dcfg, acfg,
-                eb.mask, eb.keys, eb.values, tok, cell_state, attn_hidden)
+                eb.mask, eb.keys, eb.values, None, cell_state, attn_hidden,
+                token_emb=tok_emb)
             pred = jnp.argmax(out.logit, axis=-1).astype(jnp.int32)
             return (out.cell_state, out.attn_hidden_state, pred), out.logit
 
