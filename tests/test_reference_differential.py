@@ -196,11 +196,11 @@ def _ref_beam(ref, bw, feats, lens):
     return r, nbest
 
 
-def _our_beam(ref, bw, feats, lens):
+def _our_beam(ref, bw, feats, lens, cfg=CFG):
     import jax.numpy as jnp
-    res = beam_mod.beam_decode_jit(ref.params, CFG, bw, jnp.asarray(feats),
+    res = beam_mod.beam_decode_jit(ref.params, cfg, bw, jnp.asarray(feats),
                                    jnp.asarray(lens))
-    out = beam_mod.finalize_beam(res, CFG, VOCAB)
+    out = beam_mod.finalize_beam(res, cfg, VOCAB)
     fin_tokens = np.asarray(res.fin_tokens)
     fin_lens = np.asarray(res.fin_lens)
     fin_scores = np.asarray(res.fin_scores)
@@ -369,3 +369,73 @@ def test_train_forward_loss_matches_reference(ref):
         CFG.train.label_smooth))(ref.params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+# ---------------------------------------------------------------------------
+# multi-head attention variant (heads=4, map_enc=True, linear_map=True)
+# ---------------------------------------------------------------------------
+CFG_MH = CFG.with_("attention", heads=4, map_enc=True, linear_map=True)
+_MH_KEYS = {"heads": 4, "map_enc": True, "linear_map": True}
+
+
+@pytest.fixture()
+def ref_mh(ref):
+    """Reference Model built AND run under the multi-head gpd.
+
+    heads / map_enc / linear_map are read at instance and forward time
+    (reference attention.py:36-48, 93-109), not class-definition time, so
+    mutating the live dict is exactly how the reference itself switches
+    these knobs; restored on teardown so the module-scoped ``ref``
+    fixture's model keeps decoding single-head."""
+    gpd = sys.modules["gpd"].gpd
+    saved = {k: gpd[k] for k in _MH_KEYS}
+    gpd.update(_MH_KEYS)
+    try:
+        torch.manual_seed(1)
+        m = ref.mod.Model()
+        enc_sd = {k: v.detach().numpy()
+                  for k, v in m.encoder.state_dict().items()}
+        dec_sd = {k: v.detach().numpy()
+                  for k, v in m.decoder.state_dict().items()}
+        params = las.params_from_torch_state(enc_sd, dec_sd, CFG_MH)
+        yield types.SimpleNamespace(mod=ref.mod, model=m, params=params)
+    finally:
+        gpd.update(saved)
+
+
+def test_greedy_multihead_matches_reference(ref_mh):
+    """Greedy transcripts/scores with 4-head attention + map_enc values +
+    post-concat linear_map (attention.py:99-109) vs the live reference."""
+    feats, lens = _inputs()
+    data, tlens = _ref_data(feats, lens)
+    r = ref_mh.model.eval_one_batch_with_greedy(torch.device("cpu"), data,
+                                                tlens, INT2WORD)
+
+    import jax.numpy as jnp
+    res = greedy_mod.greedy_decode_jit(ref_mh.params, CFG_MH,
+                                       jnp.asarray(feats), jnp.asarray(lens))
+    out = greedy_mod.finalize_greedy(res, VOCAB)
+    assert out.pred_text == r.pred_text
+    np.testing.assert_allclose(out.score, r.score, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("bw", [4, 8])
+def test_beam_multihead_matches_reference(ref_mh, bw):
+    """Beam transcripts, scores, and the full n-best harvest under the
+    multi-head attention config (exercises attend_beam's head-split path
+    and the linear_map context projection inside the compiled loop)."""
+    feats, lens = _inputs()
+    r, ref_nbest = _ref_beam(ref_mh, bw, feats, lens)
+    out, our_nbest = _our_beam(ref_mh, bw, feats, lens, cfg=CFG_MH)
+
+    assert out.pred_text == r.pred_text
+    np.testing.assert_allclose(out.score, r.score, rtol=0, atol=1e-4)
+    assert set(our_nbest) == set(ref_nbest), "finished-sample sets differ"
+    for b in ref_nbest:
+        assert (Counter(t for t, _ in ref_nbest[b])
+                == Counter(t for t, _ in our_nbest[b])), \
+            f"n-best token sets differ, sample {b}"
+        np.testing.assert_allclose(
+            sorted(s for _, s in our_nbest[b]),
+            sorted(s for _, s in ref_nbest[b]), rtol=0, atol=1e-4,
+            err_msg=f"n-best scores differ, sample {b}")
