@@ -107,30 +107,60 @@ def get_initial_state(p: Params, dcfg: DecoderConfig, bsz: int, enc_state,
 
 def decoder_step(p: Params, attn_p, dcfg: DecoderConfig, acfg: AttentionConfig,
                  mask, keys, values, token, cell_state, attn_hidden_state,
-                 compute_logit: bool = True, token_emb=None) -> DecoderOut:
+                 compute_logit: bool = True, token_emb=None,
+                 gate_partial=None) -> DecoderOut:
     """Reference decoder.py:94-137. token [B] int32.
 
     ``token_emb`` [B, E]: pre-embedded input (the teacher-forced trainer
     hoists the whole [B, S] embedding out of its scan as one MXU matmul);
     when given, ``token`` is ignored.
-    """
-    # row gather: measured FASTER than the one-hot MXU product since the
-    # round-3 time-major layout rework (in-pipeline A/B, v5e, B=128/bw=16:
-    # 46.5 vs 47.9 ms/batch, 5/5 rounds, outputs bit-identical —
-    # tools/decoder_fuse_ab.py); the earlier claim the other way predates
-    # that rework
-    emb = p["embedding"]
-    if token_emb is not None:
-        x = token_emb
-    else:
-        x = jnp.take(emb, token, axis=0)
-    ctx_size = values.shape[-1] if acfg.attn_type != "L" else acfg.attn_hidden_size
-    if dcfg.input_feeding:
-        if attn_hidden_state is None:
-            attn_hidden_state = jnp.zeros((x.shape[0], ctx_size), x.dtype)
-        x = jnp.concatenate([x, attn_hidden_state], axis=1)
 
-    cell_state = rnn_ops.cell_stack_step(dcfg.decoder_type, p["cells"], x, cell_state)
+    ``gate_partial`` [B, 4H]: the layer-0 LSTM gate contribution of the
+    token embedding INCLUDING both biases, precomputed outside the scan
+    (``emb_seq @ W_ih[:E] + b_ih + b_hh``); when given, ``token`` and
+    ``token_emb`` are ignored and layer 0 only multiplies the fed-back
+    attentional state and the recurrent weights.  LSTM + input_feeding
+    only (the flagship training regime).
+    """
+    ctx_size = values.shape[-1] if acfg.attn_type != "L" else acfg.attn_hidden_size
+    if gate_partial is not None:
+        assert dcfg.decoder_type == "LSTM" and dcfg.input_feeding
+        B = gate_partial.shape[0]
+        if attn_hidden_state is None:
+            attn_hidden_state = jnp.zeros((B, ctx_size), gate_partial.dtype)
+        if cell_state is None:
+            cell_state = [(jnp.zeros((B, l["w_hh"].shape[0]), gate_partial.dtype),
+                           jnp.zeros((B, l["w_hh"].shape[0]), gate_partial.dtype))
+                          for l in p["cells"]]
+        p0 = p["cells"][0]
+        E = p0["w_ih"].shape[0] - attn_hidden_state.shape[1]
+        h0, c0 = cell_state[0]
+        gates = (gate_partial + attn_hidden_state @ p0["w_ih"][E:]
+                 + h0 @ p0["w_hh"])
+        h, c = rnn_ops.lstm_from_gates(gates, c0)
+        new_state = [(h, c)]
+        if len(p["cells"]) > 1:
+            new_state += rnn_ops.cell_stack_step(
+                dcfg.decoder_type, p["cells"][1:], h, cell_state[1:])
+        cell_state = new_state
+    else:
+        # row gather: measured FASTER than the one-hot MXU product since
+        # the round-3 time-major layout rework (in-pipeline A/B, v5e,
+        # B=128/bw=16: 46.5 vs 47.9 ms/batch, 5/5 rounds, outputs
+        # bit-identical — tools/decoder_fuse_ab.py); the earlier claim
+        # the other way predates that rework
+        emb = p["embedding"]
+        if token_emb is not None:
+            x = token_emb
+        else:
+            x = jnp.take(emb, token, axis=0)
+        if dcfg.input_feeding:
+            if attn_hidden_state is None:
+                attn_hidden_state = jnp.zeros((x.shape[0], ctx_size), x.dtype)
+            x = jnp.concatenate([x, attn_hidden_state], axis=1)
+
+        cell_state = rnn_ops.cell_stack_step(dcfg.decoder_type, p["cells"],
+                                             x, cell_state)
     last = cell_state[-1]
     last_h = last[0] if dcfg.decoder_type == "LSTM" else last
 

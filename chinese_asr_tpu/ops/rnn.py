@@ -76,16 +76,17 @@ def init_rnn_layer(key, mode: str, input_size: int, hidden_size: int,
 # --------------------------------------------------------------------------
 # single-step cells (decoder path; reference RNNCellBase util.py:1650-1661)
 # --------------------------------------------------------------------------
+def lstm_from_gates(gates, c):
+    """(h', c') from pre-activation gates [.., 4H] (i, f, g, o order)."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+    return h2, c2
+
+
 def lstm_step(p: Params, x, h, c):
     gates = x @ p["w_ih"] + h @ p["w_hh"] + p["b_ih"] + p["b_hh"]
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    g = jnp.tanh(g)
-    o = jax.nn.sigmoid(o)
-    c2 = f * c + i * g
-    h2 = o * jnp.tanh(c2)
-    return h2, c2
+    return lstm_from_gates(gates, c)
 
 
 def gru_step(p: Params, x, h):

@@ -42,12 +42,24 @@ class Batch(NamedTuple):
 
 def forward_logits(params, cfg: Config, batch: Batch,
                    rng: Optional[jax.Array] = None,
-                   ss: float = 0.0, bn_updates=None) -> jnp.ndarray:
+                   ss: float = 0.0, bn_updates=None,
+                   gate_hoist: Optional[bool] = None) -> jnp.ndarray:
     """Teacher-forced logits [B, S, V] for the whole target matrix.
 
     ss > 0 enables scheduled sampling: with probability ss the input token
     at step t>0 is the model's own argmax from step t-1 instead of gold
     (reference model.py:434-443).
+
+    gate_hoist: additionally hoist the EMBEDDING PART of the layer-0 LSTM
+    gate matmul out of the scan (``emb_seq @ W_ih[:E] + biases`` as one
+    [B*S, E] x [E, 4H] product; the scan then carries [S, B, 4H] gate
+    partials instead of [S, B, E] embeddings) — PERF.md lever #5.  Only
+    takes effect in the ss=0 LSTM + input-feeding regime.  Default (None)
+    auto-enables at B >= 64: measured on v5e fwd+bwd at the flagship
+    config, 6 s utts — B=128: 63.3 vs 65.0 ms/step (3/3 rounds); B=16:
+    15.2 vs 14.7 (the latency-bound small-batch scan pays for the 8x
+    wider carried input).  B is static under jit, so the choice is made
+    at trace time; parity is f32-rounding-level (pinned in test_train).
     """
     B, S = batch.tokens_in.shape
     dcfg, acfg = cfg.decoder, cfg.attention
@@ -108,12 +120,26 @@ def forward_logits(params, cfg: Config, batch: Batch,
     emb_seq = jax.nn.one_hot(batch.tokens_in, emb.shape[0],
                              dtype=emb.dtype) @ emb        # [B, S, E]
 
-    def body(carry, x_emb):
+    if gate_hoist is None:
+        gate_hoist = B >= 64
+    gate_hoist = (gate_hoist and dcfg.decoder_type == "LSTM"
+                  and dcfg.input_feeding)
+    if gate_hoist:
+        p0 = dp["cells"][0]
+        E = emb.shape[1]
+        xs_seq = (emb_seq.reshape(B * S, E) @ p0["w_ih"][:E]
+                  + p0["b_ih"] + p0["b_hh"]).reshape(B, S, -1)  # [B, S, 4H]
+    else:
+        xs_seq = emb_seq
+
+    def body(carry, x_t):
         cell_state, attn_hidden = carry
         out = dec_ops.decoder_step(
             dp, params["attention"], dcfg, acfg,
             eb.mask, eb.keys, eb.values, None, cell_state, attn_hidden,
-            compute_logit=False, token_emb=x_emb)
+            compute_logit=False,
+            token_emb=None if gate_hoist else x_t,
+            gate_partial=x_t if gate_hoist else None)
         last = out.cell_state[-1]
         last_h = last[0] if dcfg.decoder_type == "LSTM" else last
         return ((out.cell_state, out.attn_hidden_state),
@@ -124,7 +150,7 @@ def forward_logits(params, cfg: Config, batch: Batch,
         # recomputes each decoder step from its (tiny) carry instead
         body = jax.checkpoint(body)
     _, (h_seq, ahs_seq) = jax.lax.scan(body, (cell0, attn0),
-                                       jnp.swapaxes(emb_seq, 0, 1))
+                                       jnp.swapaxes(xs_seq, 0, 1))
     if acfg.attn_type == "B":
         proj_in = jnp.concatenate([h_seq, ahs_seq], axis=-1)  # [S, B, H+ctx]
     else:

@@ -155,6 +155,36 @@ def test_forward_logits_hoisted_matches_stepwise():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_forward_logits_gate_hoist_parity():
+    """The layer-0 gate-partial hoist (PERF lever #5, auto-on at B >= 64)
+    is a reassociation of the same math: logits and gradients must match
+    the unhoisted scan to f32 rounding."""
+    from chinese_asr_tpu.train.step import forward_logits
+
+    cfg = SMALL
+    params = las.init_params(jax.random.PRNGKey(2), cfg)
+    batch = make_batch(cfg, seed=7)
+    l0 = forward_logits(params, cfg, batch, gate_hoist=False)
+    l1 = forward_logits(params, cfg, batch, gate_hoist=True)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=2e-5, atol=2e-5)
+
+    S = batch.tokens_out.shape[1]
+    mask = jnp.ones(batch.tokens_out.shape, bool)
+
+    def loss(p, gh):
+        return label_smoothed_ce(
+            forward_logits(p, cfg, batch, gate_hoist=gh),
+            batch.tokens_out, mask, cfg.train.label_smooth)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_train_step_mixed_precision_bf16():
     """train.compute_dtype="bfloat16": fwd/bwd in bf16, but master params
     and optimizer state stay f32, losses track the f32 run, and the model
