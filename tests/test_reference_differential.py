@@ -439,3 +439,77 @@ def test_beam_multihead_matches_reference(ref_mh, bw):
             sorted(s for _, s in our_nbest[b]),
             sorted(s for _, s in ref_nbest[b]), rtol=0, atol=1e-4,
             err_msg=f"n-best scores differ, sample {b}")
+
+
+# ---------------------------------------------------------------------------
+# CNN1D+GRU secondary encoder family vs the live reference
+# ---------------------------------------------------------------------------
+def test_cnn1drnn_encoder_matches_reference(ref):
+    """End-to-end CNN1DRNNEncoder forward (conv->BN->RELU x2 -> bidir GRU
+    stack, reference encoder.py:85-99) vs ours with converted weights.
+
+    Equal-length inputs on purpose: the reference packs the FULL padded
+    tensor into the GRU (encoder.py:96-97 passes a padded batch where
+    forward expects a list, so pack_sequence keeps padding frames and the
+    final state absorbs them) — our masked scan deliberately fixes that;
+    at equal lengths the two semantics coincide and the comparison is
+    exact.  BN runs in eval mode with randomized running stats so the
+    running-stat conversion is actually exercised."""
+    import jax.numpy as jnp
+    from chinese_asr_tpu.models import encoders_extra
+
+    torch.manual_seed(3)
+    m = ref.mod.CNN1DRNNEncoder()
+    m.eval()
+    with torch.no_grad():
+        for conv in m.cnn1d.convs:
+            conv.norm.running_mean.uniform_(-0.5, 0.5)
+            conv.norm.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    convs = []
+    for i in range(2):
+        b = f"cnn1d.convs.{i}."
+        convs.append({
+            "w": jnp.asarray(sd[b + "conv.weight"].transpose(2, 1, 0)),
+            "b": jnp.asarray(sd[b + "conv.bias"]),
+            "norm_scale": jnp.asarray(sd[b + "norm.weight"]),
+            "norm_bias": jnp.asarray(sd[b + "norm.bias"]),
+            "bn_mean": jnp.asarray(sd[b + "norm.running_mean"]),
+            "bn_var": jnp.asarray(sd[b + "norm.running_var"]),
+        })
+    rnn_layers = []
+    for i in range(CFG.encoder.num_layers):
+        base = f"rnn.rnn.rnn.{i}."
+        layer = {"fwd": {
+            "w_ih": jnp.asarray(sd[base + "weight_ih_l0"]).T,
+            "w_hh": jnp.asarray(sd[base + "weight_hh_l0"]).T,
+            "b_ih": jnp.asarray(sd[base + "bias_ih_l0"]),
+            "b_hh": jnp.asarray(sd[base + "bias_hh_l0"]),
+        }, "bwd": {
+            "w_ih": jnp.asarray(sd[base + "weight_ih_l0_reverse"]).T,
+            "w_hh": jnp.asarray(sd[base + "weight_hh_l0_reverse"]).T,
+            "b_ih": jnp.asarray(sd[base + "bias_ih_l0_reverse"]),
+            "b_hh": jnp.asarray(sd[base + "bias_hh_l0_reverse"]),
+        }}
+        rnn_layers.append(layer)
+    params = {"front": {"convs": convs}, "rnn": rnn_layers}
+
+    B, T = 3, 14
+    rng = np.random.RandomState(9)
+    feats = rng.randn(B, T, CFG.audio.feat_dim).astype(np.float32)
+    lens = np.full(B, T, np.int32)
+
+    with torch.no_grad():
+        r = m(torch.from_numpy(feats.transpose(0, 2, 1)),
+              torch.from_numpy(lens.astype(np.int64)))
+    ref_y = r.out.permute(1, 0, 2).numpy()                 # [B, T', 2H]
+    ref_state = r.state.numpy()                            # [B, 2H]
+
+    cfg2 = CFG.with_("encoder", encoder_type="CNN1D")
+    y, olens, state = encoders_extra.apply_cnn1d_rnn(
+        params, cfg2, jnp.asarray(feats), jnp.asarray(lens))
+    assert np.asarray(y).shape == ref_y.shape
+    np.testing.assert_allclose(np.asarray(y), ref_y, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state), ref_state,
+                               rtol=2e-4, atol=2e-5)
