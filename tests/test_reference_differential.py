@@ -513,3 +513,74 @@ def test_cnn1drnn_encoder_matches_reference(ref):
     np.testing.assert_allclose(np.asarray(y), ref_y, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(state), ref_state,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_self_local_attention_encoder_matches_reference(ref):
+    """SelfLocalAttentionEncoder forward (windowed QKV blocks, reference
+    encoder.py:254-287) vs ours with converted weights, unequal lengths.
+
+    The reference's Model cannot actually run this encoder end to end —
+    its forward signature is (ws, x, lens) while Model calls
+    encoder(data, lens) (model.py:37-42 vs encoder.py:277), so the
+    encoder-forward differential is the strongest check available; the
+    decode stack on top is shared with the families differentialed above.
+    Ours zeroes padding rows (deliberate fix), so rows are compared up to
+    each sample's true length."""
+    import jax.numpy as jnp
+    from chinese_asr_tpu.models import encoders_extra
+
+    torch.manual_seed(4)
+    m = ref.mod.SelfLocalAttentionEncoder()
+    m.eval()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    heads = type(m).heads
+    layers = type(m).layers
+
+    blocks = []
+    for i in range(layers):
+        b = f"blocks.{i}."
+        ffn_bias = sd[b + "ffn.bias"]
+        H = sd[b + "ffn.weight_1"].shape[1]      # FFN input == hidden
+        F_ = sd[b + "ffn.weight_1"].shape[0]
+        blk = {
+            "attn": {
+                "w_qkv": jnp.asarray(sd[b + "sla.weight"].T),
+                "b_qkv": jnp.asarray(sd[b + "sla.bias"]),
+            },
+            "ffn": {
+                "w1": jnp.asarray(sd[b + "ffn.weight_1"].T),
+                "b1": jnp.asarray(ffn_bias[:F_]),
+                "w2": jnp.asarray(sd[b + "ffn.weight_2"].T),
+                "b2": jnp.asarray(ffn_bias[F_:]),
+            },
+            "ln1_scale": jnp.asarray(sd[b + "ln_1.weight"]),
+            "ln1_bias": jnp.asarray(sd[b + "ln_1.bias"]),
+            "ln2_scale": jnp.asarray(sd[b + "ln_2.weight"]),
+            "ln2_bias": jnp.asarray(sd[b + "ln_2.bias"]),
+        }
+        if b + "sla.proj_weight" in sd:
+            blk["attn"]["w_proj"] = jnp.asarray(sd[b + "sla.proj_weight"].T)
+        blocks.append(blk)
+    params = {"blocks": blocks}
+
+    B, T, ws = 3, 14, 5
+    rng = np.random.RandomState(10)
+    feats = rng.randn(B, T, CFG.audio.feat_dim).astype(np.float32)
+    lens = np.array([T, T - 3, T - 6], np.int32)
+    for i, l in enumerate(lens):
+        feats[i, l:] = 0.0
+
+    with torch.no_grad():
+        r = m(ws, torch.from_numpy(feats),
+              torch.from_numpy(lens.astype(np.int64)))
+    ref_y = r.out.permute(1, 0, 2).numpy()                 # [B, T, H]
+
+    y, olens = encoders_extra.apply_sa(params, CFG, jnp.asarray(feats),
+                                       jnp.asarray(lens), heads=heads, ws=ws)
+    y = np.asarray(y)
+    assert y.shape == ref_y.shape
+    np.testing.assert_array_equal(np.asarray(olens), lens)
+    for i, l in enumerate(lens):
+        np.testing.assert_allclose(y[i, :l], ref_y[i, :l],
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"sample {i}")
