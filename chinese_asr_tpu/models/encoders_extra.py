@@ -28,6 +28,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config, EncoderConfig
 from ..ops import conv as conv_ops
@@ -68,9 +69,13 @@ def _to_2d(cfg: Config, x):
 
 
 def _flatten_2d(x):
-    """[B, T, F, C] -> [B, T, F*C]."""
+    """[B, T, F, C] -> [B, T, C*F], channel-major.
+
+    Matches the reference's ``x.view(b, c*h, w)`` flatten (encoder.py:188,
+    332): feature index = c*F + f, so attention/projection weights convert
+    1:1 between the frameworks for the 2-D encoder families."""
     B, T, F, C = x.shape
-    return x.reshape(B, T, F * C)
+    return x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
 
 
 # --------------------------------------------------------------------------
@@ -447,6 +452,173 @@ def apply_encoder(p: Params, cfg: Config, x, lens, train=False,
         y, lens = apply_dcnn(p, cfg, x, lens, train, updates)
         return EncoderOut(y, lens, None)
     raise ValueError(f"unknown encoder_type {et}")
+
+
+# --------------------------------------------------------------------------
+# torch state-dict conversion: reference encoder classes -> our pytrees
+# (reference save format model.py:347-355; tensor names per each class'
+# submodule tree).  ``las.params_from_torch_state`` dispatches here for
+# every non-RNN ``encoder_type`` so reference checkpoints of the secondary
+# families import directly.
+# --------------------------------------------------------------------------
+def _j(sd, key, dtype):
+    return jnp.asarray(np.asarray(sd[key]), dtype)
+
+
+def _norm_from_sd(p: Params, sd, pre: str, dtype) -> None:
+    if pre + "norm.weight" in sd:
+        p["norm_scale"] = _j(sd, pre + "norm.weight", dtype)
+        p["norm_bias"] = _j(sd, pre + "norm.bias", dtype)
+    if pre + "norm.running_mean" in sd:
+        p["bn_mean"] = _j(sd, pre + "norm.running_mean", dtype)
+        p["bn_var"] = _j(sd, pre + "norm.running_var", dtype)
+
+
+def _conv1d_from_sd(sd, pre: str, dtype) -> Params:
+    """Reference ``Conv1D`` (util.py:1327-1427): nn.Conv1d [out, in, ks]
+    -> our [ks, in, out]."""
+    w = np.asarray(sd[pre + "conv.weight"])
+    p = {"w": jnp.asarray(w.transpose(2, 1, 0), dtype),
+         "b": (_j(sd, pre + "conv.bias", dtype)
+               if pre + "conv.bias" in sd else jnp.zeros((w.shape[0],), dtype))}
+    _norm_from_sd(p, sd, pre, dtype)
+    return p
+
+
+def _conv2d_from_sd(sd, pre: str, dtype) -> Params:
+    """Reference ``Conv2D`` (util.py:1467-1573): nn.Conv2d
+    [out, in, kf, kt] (its h = freq, w = time) -> our [kt, kf, in, out];
+    the conv bias only exists when norm == 'NONE' (util.py:1477-1480)."""
+    w = np.asarray(sd[pre + "conv.weight"])
+    p = {"w": jnp.asarray(w.transpose(3, 2, 1, 0), dtype),
+         "b": (_j(sd, pre + "conv.bias", dtype)
+               if pre + "conv.bias" in sd else jnp.zeros((w.shape[0],), dtype))}
+    _norm_from_sd(p, sd, pre, dtype)
+    return p
+
+
+def _rnn_stack_from_sd(sd, pre: str, num_layers: int, bidirectional: bool,
+                       dtype) -> List[Params]:
+    """Reference ``RNN_RES`` ModuleList of 1-layer nn.LSTM/GRU
+    (util.py:1155-1161): weight_ih_l0 [4H/3H, in] -> our [in, 4H/3H]."""
+    layers = []
+    for i in range(num_layers):
+        base = f"{pre}{i}."
+
+        def direction(sfx):
+            return {
+                "w_ih": jnp.asarray(
+                    np.asarray(sd[base + "weight_ih_l0" + sfx]).T, dtype),
+                "w_hh": jnp.asarray(
+                    np.asarray(sd[base + "weight_hh_l0" + sfx]).T, dtype),
+                "b_ih": _j(sd, base + "bias_ih_l0" + sfx, dtype),
+                "b_hh": _j(sd, base + "bias_hh_l0" + sfx, dtype),
+            }
+
+        layer = {"fwd": direction("")}
+        if bidirectional:
+            layer["bwd"] = direction("_reverse")
+        layers.append(layer)
+    return layers
+
+
+def _sa_blocks_from_sd(sd, pre: str, layers: int, dtype) -> Params:
+    """Reference ``SelfAttentionBlock`` / ``SelfLocalAttentionBlock``
+    (util.py:1777-1864) — the attention submodule is named ``mha`` in the
+    full-attention block and ``sla`` in the windowed one."""
+    blocks = []
+    for i in range(layers):
+        b = f"{pre}{i}."
+        attn = b + ("mha." if b + "mha.weight" in sd else "sla.")
+        ffn_bias = np.asarray(sd[b + "ffn.bias"])
+        F_ = np.asarray(sd[b + "ffn.weight_1"]).shape[0]
+        blk = {
+            "attn": {
+                "w_qkv": jnp.asarray(np.asarray(sd[attn + "weight"]).T, dtype),
+                "b_qkv": _j(sd, attn + "bias", dtype),
+            },
+            "ffn": {
+                "w1": jnp.asarray(np.asarray(sd[b + "ffn.weight_1"]).T, dtype),
+                "b1": jnp.asarray(ffn_bias[:F_], dtype),
+                "w2": jnp.asarray(np.asarray(sd[b + "ffn.weight_2"]).T, dtype),
+                "b2": jnp.asarray(ffn_bias[F_:], dtype),
+            },
+            "ln1_scale": _j(sd, b + "ln_1.weight", dtype),
+            "ln1_bias": _j(sd, b + "ln_1.bias", dtype),
+            "ln2_scale": _j(sd, b + "ln_2.weight", dtype),
+            "ln2_bias": _j(sd, b + "ln_2.bias", dtype),
+        }
+        if attn + "proj_weight" in sd:
+            blk["attn"]["w_proj"] = jnp.asarray(
+                np.asarray(sd[attn + "proj_weight"]).T, dtype)
+        blocks.append(blk)
+    return {"blocks": blocks}
+
+
+def _conv_lstm_from_sd(sd, pre: str, dtype) -> Params:
+    """Reference ``ConvLSTM`` (util.py:886-983): two biased gate convs
+    whose sum is our single fused bias; gate order (i, f, g, o) matches."""
+    wx = np.asarray(sd[pre + "conv_x.weight"])
+    wh = np.asarray(sd[pre + "conv_h.weight"])
+    return {
+        "w_x": jnp.asarray(wx.transpose(2, 1, 0), dtype),
+        "w_h": jnp.asarray(wh.transpose(2, 1, 0), dtype),
+        "b": jnp.asarray(np.asarray(sd[pre + "conv_x.bias"])
+                         + np.asarray(sd[pre + "conv_h.bias"]), dtype),
+    }
+
+
+def _bconv_lstm_from_sd(sd, pre: str, dtype) -> Params:
+    """Reference ``BConvLSTM`` (util.py:986-1022): fw/bw ConvLSTM pair."""
+    return {"fwd": _conv_lstm_from_sd(sd, pre + "fw.", dtype),
+            "bwd": _conv_lstm_from_sd(sd, pre + "bw.", dtype)}
+
+
+def encoder_from_torch_state(enc_sd: Dict[str, "np.ndarray"], cfg: Config,
+                             dtype=jnp.float32) -> Params:
+    """Build the encoder params pytree from a reference encoder state dict
+    for the secondary families (the RNN family lives in
+    ``las.params_from_torch_state``)."""
+    et = cfg.encoder.encoder_type
+    ecfg = cfg.encoder
+    if et == "CNN1D":
+        n = len(_conv_plan(ecfg))
+        return {"convs": [_conv1d_from_sd(enc_sd, f"convs.{i}.", dtype)
+                          for i in range(n)]}
+    if et == "CNN2D":
+        n = len(_conv_plan(ecfg))
+        return {"convs": [_conv2d_from_sd(enc_sd, f"convs.{i}.", dtype)
+                          for i in range(n)]}
+    if et == "CNN1D_RNN":
+        return {
+            "front": {"convs": [
+                _conv1d_from_sd(enc_sd, f"cnn1d.convs.{i}.", dtype)
+                for i in range(len(_FRONT_PLAN))]},
+            # CNN1DRNNEncoder.rnn is a full RNNEncoder wrapping RNN_RES
+            # (encoder.py:91), hence the triple-nested prefix
+            "rnn": _rnn_stack_from_sd(enc_sd, "rnn.rnn.rnn.", ecfg.num_layers,
+                                      ecfg.bidirectional, dtype),
+        }
+    if et == "CNN1D_SELF_ATTENTION":
+        return {
+            "front": {"convs": [
+                _conv1d_from_sd(enc_sd, f"cnn1d.convs.{i}.", dtype)
+                for i in range(len(_FRONT_PLAN))]},
+            # fixed geometry per encoder.py:239-243 (hidden 256, 4 layers)
+            "sa": _sa_blocks_from_sd(enc_sd, "sa.blocks.", 4, dtype),
+        }
+    if et in ("SELF_ATTENTION", "SELF_LOCAL_ATTENTION"):
+        return _sa_blocks_from_sd(enc_sd, "blocks.", ecfg.num_layers, dtype)
+    if et == "CRNN":
+        # the reference CRNNEncoder also carries an RNN_RES that its
+        # forward never uses (encoder.py:305-307 vs 321-333) — skipped
+        return {
+            "heads": [_conv2d_from_sd(enc_sd, f"heads.{i}.", dtype)
+                      for i in range(2)],
+            "conv_lstm": [_conv_lstm_from_sd(enc_sd, f"conv_lstm.{i}.", dtype)
+                          for i in range(3)],
+        }
+    raise ValueError(f"no torch converter for encoder_type {et}")
 
 
 def encoder_output_size(cfg: Config) -> int:

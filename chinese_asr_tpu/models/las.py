@@ -86,24 +86,29 @@ def params_from_torch_state(enc_sd: Dict[str, np.ndarray],
     def J(a):
         return jnp.asarray(np.asarray(a), dtype)
 
-    layers = []
-    for i in range(ecfg.num_layers):
-        base = f"rnn.rnn.{i}."
-        layer = {"fwd": {
-            "w_ih": J(enc_sd[base + "weight_ih_l0"]).T,
-            "w_hh": J(enc_sd[base + "weight_hh_l0"]).T,
-            "b_ih": J(enc_sd[base + "bias_ih_l0"]),
-            "b_hh": J(enc_sd[base + "bias_hh_l0"]),
-        }}
-        if ecfg.bidirectional:
-            layer["bwd"] = {
-                "w_ih": J(enc_sd[base + "weight_ih_l0_reverse"]).T,
-                "w_hh": J(enc_sd[base + "weight_hh_l0_reverse"]).T,
-                "b_ih": J(enc_sd[base + "bias_ih_l0_reverse"]),
-                "b_hh": J(enc_sd[base + "bias_hh_l0_reverse"]),
-            }
-        layers.append(layer)
-    encoder = {"layers": layers}
+    if ecfg.encoder_type in ("LSTM", "GRU", "RNN_TANH", "RNN_RELU"):
+        layers = []
+        for i in range(ecfg.num_layers):
+            base = f"rnn.rnn.{i}."
+            layer = {"fwd": {
+                "w_ih": J(enc_sd[base + "weight_ih_l0"]).T,
+                "w_hh": J(enc_sd[base + "weight_hh_l0"]).T,
+                "b_ih": J(enc_sd[base + "bias_ih_l0"]),
+                "b_hh": J(enc_sd[base + "bias_hh_l0"]),
+            }}
+            if ecfg.bidirectional:
+                layer["bwd"] = {
+                    "w_ih": J(enc_sd[base + "weight_ih_l0_reverse"]).T,
+                    "w_hh": J(enc_sd[base + "weight_hh_l0_reverse"]).T,
+                    "b_ih": J(enc_sd[base + "bias_ih_l0_reverse"]),
+                    "b_hh": J(enc_sd[base + "bias_hh_l0_reverse"]),
+                }
+            layers.append(layer)
+        encoder = {"layers": layers}
+    else:
+        # secondary families (CNN1D/CNN2D/CNN1D_RNN/self-attention/CRNN)
+        from . import encoders_extra
+        encoder = encoders_extra.encoder_from_torch_state(enc_sd, cfg, dtype)
 
     # attention params live inside the decoder state dict (the reference's
     # decoder holds attn_mechanism; BauAttn tensors use math orientation)
@@ -141,11 +146,16 @@ def params_from_torch_state(enc_sd: Dict[str, np.ndarray],
     }
     if "attn_hidden_weight" in dec_sd:
         decoder["attn_hidden_w"] = J(dec_sd["attn_hidden_weight"])
-    if "init_state.0" in dec_sd:
-        init = []
-        while f"init_state.{len(init)}" in dec_sd:
-            init.append(J(dec_sd[f"init_state.{len(init)}"]))
-        decoder["init_state"] = init
+    # learned decoder init: the reference names its ParameterList
+    # "dec_init_cell_state.{i}" (decoder.py:36-40); "init_state.{i}" is
+    # accepted for pre-round-3 exports from this framework
+    for name in ("dec_init_cell_state", "init_state"):
+        if f"{name}.0" in dec_sd:
+            init = []
+            while f"{name}.{len(init)}" in dec_sd:
+                init.append(J(dec_sd[f"{name}.{len(init)}"]))
+            decoder["init_state"] = init
+            break
 
     return {"encoder": encoder, "attention": attention, "decoder": decoder}
 
@@ -206,8 +216,10 @@ def params_to_torch_state(params: Params, cfg: Config):
     if "attn_hidden_w" in dp:
         dec_sd["attn_hidden_weight"] = N(dp["attn_hidden_w"])
     if "init_state" in dp:
+        # reference naming (decoder.py:36-40) so its load_state_dict accepts
+        # a learned-init checkpoint exported from here
         for i, e in enumerate(dp["init_state"]):
-            dec_sd[f"init_state.{i}"] = N(e)
+            dec_sd[f"dec_init_cell_state.{i}"] = N(e)
     unexported = set(params["encoder"]) - {"layers"}
     if unexported:
         raise ValueError(

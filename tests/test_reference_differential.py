@@ -466,34 +466,8 @@ def test_cnn1drnn_encoder_matches_reference(ref):
             conv.norm.running_mean.uniform_(-0.5, 0.5)
             conv.norm.running_var.uniform_(0.5, 1.5)
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
-
-    convs = []
-    for i in range(2):
-        b = f"cnn1d.convs.{i}."
-        convs.append({
-            "w": jnp.asarray(sd[b + "conv.weight"].transpose(2, 1, 0)),
-            "b": jnp.asarray(sd[b + "conv.bias"]),
-            "norm_scale": jnp.asarray(sd[b + "norm.weight"]),
-            "norm_bias": jnp.asarray(sd[b + "norm.bias"]),
-            "bn_mean": jnp.asarray(sd[b + "norm.running_mean"]),
-            "bn_var": jnp.asarray(sd[b + "norm.running_var"]),
-        })
-    rnn_layers = []
-    for i in range(CFG.encoder.num_layers):
-        base = f"rnn.rnn.rnn.{i}."
-        layer = {"fwd": {
-            "w_ih": jnp.asarray(sd[base + "weight_ih_l0"]).T,
-            "w_hh": jnp.asarray(sd[base + "weight_hh_l0"]).T,
-            "b_ih": jnp.asarray(sd[base + "bias_ih_l0"]),
-            "b_hh": jnp.asarray(sd[base + "bias_hh_l0"]),
-        }, "bwd": {
-            "w_ih": jnp.asarray(sd[base + "weight_ih_l0_reverse"]).T,
-            "w_hh": jnp.asarray(sd[base + "weight_hh_l0_reverse"]).T,
-            "b_ih": jnp.asarray(sd[base + "bias_ih_l0_reverse"]),
-            "b_hh": jnp.asarray(sd[base + "bias_hh_l0_reverse"]),
-        }}
-        rnn_layers.append(layer)
-    params = {"front": {"convs": convs}, "rnn": rnn_layers}
+    params = encoders_extra.encoder_from_torch_state(
+        sd, CFG.with_("encoder", encoder_type="CNN1D_RNN"))
 
     B, T = 3, 14
     rng = np.random.RandomState(9)
@@ -534,34 +508,8 @@ def test_self_local_attention_encoder_matches_reference(ref):
     m.eval()
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
     heads = type(m).heads
-    layers = type(m).layers
-
-    blocks = []
-    for i in range(layers):
-        b = f"blocks.{i}."
-        ffn_bias = sd[b + "ffn.bias"]
-        H = sd[b + "ffn.weight_1"].shape[1]      # FFN input == hidden
-        F_ = sd[b + "ffn.weight_1"].shape[0]
-        blk = {
-            "attn": {
-                "w_qkv": jnp.asarray(sd[b + "sla.weight"].T),
-                "b_qkv": jnp.asarray(sd[b + "sla.bias"]),
-            },
-            "ffn": {
-                "w1": jnp.asarray(sd[b + "ffn.weight_1"].T),
-                "b1": jnp.asarray(ffn_bias[:F_]),
-                "w2": jnp.asarray(sd[b + "ffn.weight_2"].T),
-                "b2": jnp.asarray(ffn_bias[F_:]),
-            },
-            "ln1_scale": jnp.asarray(sd[b + "ln_1.weight"]),
-            "ln1_bias": jnp.asarray(sd[b + "ln_1.bias"]),
-            "ln2_scale": jnp.asarray(sd[b + "ln_2.weight"]),
-            "ln2_bias": jnp.asarray(sd[b + "ln_2.bias"]),
-        }
-        if b + "sla.proj_weight" in sd:
-            blk["attn"]["w_proj"] = jnp.asarray(sd[b + "sla.proj_weight"].T)
-        blocks.append(blk)
-    params = {"blocks": blocks}
+    params = encoders_extra.encoder_from_torch_state(
+        sd, CFG.with_("encoder", encoder_type="SELF_LOCAL_ATTENTION"))
 
     B, T, ws = 3, 14, 5
     rng = np.random.RandomState(10)
