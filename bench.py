@@ -289,6 +289,22 @@ def main() -> None:
     rows.append(("offline_api_bw16_mulaw", OFF, 16, audio_s / elapsed,
                  OFF * iters / elapsed, elapsed / iters))
 
+    # 5c: opt-in 4-bit block-ADPCM wire (quarter the PCM16 bytes; decoded
+    # on device by a blockwise lax.scan — parity campaign in
+    # tests/test_wire.py, measurements in PERF.md)
+    asr4 = ASR(cfg=cfg, bw=16, wire="adpcm")
+    asr4.params = params
+    asr4.vocab = asr.vocab
+    assert len(asr4.transcribe_wavs(wav_list, scales=scales)) == OFF
+
+    def api4_once():
+        assert len(asr4.transcribe_wavs(wav_list, scales=scales)) == OFF
+    iters, elapsed = _time_loop(api4_once, min_iters=2,
+                                min_secs=0.2 if smoke else 5.0)
+    audio_s = float(lens.sum()) / SR * iters
+    rows.append(("offline_api_bw16_adpcm", OFF, 16, audio_s / elapsed,
+                 OFF * iters / elapsed, elapsed / iters))
+
     print(f"# device={jax.devices()[0].platform}", file=sys.stderr)
     print(f"# {'config':<23}{'B':>5}{'bw':>4}{'RTF':>12}"
           f"{'utts/s/chip':>14}{'s/batch':>10}", file=sys.stderr)

@@ -396,3 +396,135 @@ def featurize_flat(flat, lens, N: int, cfg: AudioConfig,
     """featurize_batch over the flat wire layout (see unpack_flat)."""
     return featurize_batch(unpack_flat(flat, lens, N), lens, cfg,
                            norm_eps=norm_eps, scale=scale)
+
+
+# --------------------------------------------------------------------------
+# 4-bit block-adaptive ADPCM wire (opt-in; PERF.md lever #6)
+# --------------------------------------------------------------------------
+# Quarters the PCM16 wire (0.5 byte/sample + ~1.2% block headers) by coding
+# the first-difference residual with an IMA-style 3-bit adaptive magnitude
+# + sign.  Deviations from IMA (both deliberate, both for the TPU):
+#
+# * blocks of ADPCM_K samples are decode-INDEPENDENT (header carries the
+#   initial predictor + step index), so the device decode is one
+#   ``lax.scan`` of K steps vmapped across every block in the batch —
+#   sequential in K only, parallel over ~Ltot/K lanes;
+# * the step table is replaced by exact integer math
+#   ``step(i) = (8 + (i & 7)) << (i >> 3)`` (geometric ~x1.09/step, range
+#   8..30720 over i in [0, 95]) so the per-step lookup is elementwise
+#   shift/and ops instead of a table gather (an 89-entry gather per scan
+#   step measured ~300 ms/batch for the mu-law LUT's equivalent volume).
+#
+# Encoder (host, numpy) and decoder (device, jnp) share the same int32
+# state machine, so the device reconstruction is BIT-EXACT to what the
+# encoder tracked — pinned by test, as is transcript parity on an overfit
+# model (tests/test_wire.py).
+
+ADPCM_K = 256            # samples per block (16 ms @ 16 kHz)
+_ADPCM_IDX_MAX = 95
+
+
+def _adpcm_step(idx):
+    """Exact integer step size for index ``idx`` (numpy or jnp int32)."""
+    return (8 + (idx & 7)) << (idx >> 3)
+
+
+def adpcm_bytes(n_samples: int) -> int:
+    """Wire bytes for ``n_samples`` (must be a multiple of ADPCM_K)."""
+    nb = n_samples // ADPCM_K
+    return 3 * nb + nb * ADPCM_K // 2
+
+
+def adpcm_encode_flat(x: "np.ndarray", out: "np.ndarray" = None):
+    """Encode an int16 flat buffer (len a multiple of ADPCM_K) into the
+    packed uint8 wire: [pred0 lo | pred0 hi | idx0 | nibbles], where the
+    nibble block is [K/2, nb] with byte j holding codes (2j, 2j+1).
+
+    Dispatches to the C++ kernel (runtime/cpp/adpcm.cpp) when the
+    toolchain is available — the K python-level vector steps below cost
+    ~1 s at the offline bench size vs ~60 ms native; both encoders are
+    bit-identical by construction (integer-only math, pinned by test)."""
+    import numpy as _np
+    K = ADPCM_K
+    assert x.dtype == _np.int16 and len(x) % K == 0, (x.dtype, len(x))
+    if out is None:
+        out = _np.empty(adpcm_bytes(len(x)), _np.uint8)
+    from ..runtime import native
+    lib = native.get_adpcm()
+    if lib is not None and len(x):
+        lib(_np.ascontiguousarray(x), out)
+        return out
+    xi = x.astype(_np.int32)
+    nb = len(x) // K
+    blocks = xi.reshape(nb, K)
+    # initial predictor = last original sample of the previous block
+    pred0 = _np.concatenate([[0], blocks[:-1, -1]]).astype(_np.int32)
+    # initial step index: first step >= 2 * mean|first difference| —
+    # pure integer math (sum >> 7 == 2*mean for K=256) so the C++ and
+    # numpy encoders agree bit-for-bit; any header choice decodes
+    # correctly, adaptation converges within ~10 samples either way
+    acc = _np.abs(_np.diff(blocks, axis=1,
+                           prepend=pred0[:, None])).sum(1, _np.int64)
+    table = _adpcm_step(_np.arange(_ADPCM_IDX_MAX + 1, dtype=_np.int32))
+    idx0 = _np.minimum(
+        _np.searchsorted(table, _np.maximum(acc >> 7, 8)),
+        _ADPCM_IDX_MAX).astype(_np.int32)
+    pred, idx = pred0.copy(), idx0.copy()
+    codes = _np.empty((K, nb), _np.uint8)
+    for t in range(K):
+        s = blocks[:, t]
+        step = _adpcm_step(idx)
+        diff = s - pred
+        sign = (diff < 0).astype(_np.int32)
+        mag = _np.minimum((_np.abs(diff) << 2) // step, 7)
+        dq = ((2 * mag + 1) * step) >> 3
+        pred = _np.clip(pred + _np.where(sign, -dq, dq), -32768, 32767)
+        idx = _np.clip(idx + _np.where(mag < 4, -1, 2 * (mag - 3)),
+                       0, _ADPCM_IDX_MAX)
+        codes[t] = ((sign << 3) | mag).astype(_np.uint8)
+    nib = (codes[0::2] | (codes[1::2] << 4)).reshape(-1)
+    out[:nb] = (pred0 & 255).astype(_np.uint8)
+    out[nb: 2 * nb] = ((pred0 >> 8) & 255).astype(_np.uint8)
+    out[2 * nb: 3 * nb] = idx0.astype(_np.uint8)
+    out[3 * nb:] = nib
+    return out
+
+
+def adpcm_decode_flat(buf, nb: int):
+    """Device-side decode of the packed ADPCM wire -> float32 flat buffer
+    of nb*ADPCM_K samples in [-1, 1).  One lax.scan over the K in-block
+    steps, all [nb] lanes in parallel; bit-exact mirror of the encoder's
+    int32 state machine."""
+    K = ADPCM_K
+    lo = buf[:nb].astype(jnp.int32)
+    hi = buf[nb: 2 * nb].astype(jnp.int32)
+    pred0 = lo | (hi << 8)
+    pred0 = pred0 - ((pred0 >> 15) << 16)          # sign-extend int16
+    idx0 = buf[2 * nb: 3 * nb].astype(jnp.int32)
+    nib = buf[3 * nb:].reshape(K // 2, nb)
+    codes = jnp.stack([nib & 15, nib >> 4], axis=1).reshape(K, nb)
+
+    def body(carry, code):
+        pred, idx = carry
+        step = _adpcm_step(idx)
+        code = code.astype(jnp.int32)
+        mag = code & 7
+        dq = ((2 * mag + 1) * step) >> 3
+        pred = pred + jnp.where(code >> 3 != 0, -dq, dq)
+        pred = jnp.clip(pred, -32768, 32767)
+        idx = jnp.clip(idx + jnp.where(mag < 4, -1, 2 * (mag - 3)),
+                       0, _ADPCM_IDX_MAX)
+        return (pred, idx), pred
+
+    _, samples = jax.lax.scan(body, (pred0, idx0), codes, unroll=8)
+    # [K, nb] -> flat sample order, scaled to the float wav convention
+    return samples.T.reshape(-1).astype(jnp.float32) * (1.0 / 32768.0)
+
+
+def featurize_adpcm(buf, lens, N: int, cfg: AudioConfig,
+                    norm_eps: float = 1e-7, scale=None):
+    """featurize_batch over the ADPCM wire (decode + flat row unpack)."""
+    nb = buf.shape[0] // (3 + ADPCM_K // 2)
+    flat = adpcm_decode_flat(buf, nb)
+    return featurize_batch(unpack_flat(flat, lens, N), lens, cfg,
+                           norm_eps=norm_eps, scale=scale)

@@ -88,6 +88,41 @@ class _NativeLib:
         return float(out.mean())
 
 
+_adpcm_holder = {"fn": None, "tried": False}
+
+
+def get_adpcm():
+    """Return a callable ``(x_int16, out_uint8) -> None`` wrapping the C++
+    ADPCM wire encoder (runtime/cpp/adpcm.cpp), or None if no toolchain.
+    Bit-identical to the numpy encoder in audio/features.py (pinned by
+    tests/test_wire.py); exists because the python-level block loop costs
+    ~1 s/batch at the offline bench size on this one-core host."""
+    with _lock:
+        if _adpcm_holder["tried"]:
+            return _adpcm_holder["fn"]
+        _adpcm_holder["tried"] = True
+        so = _compile(os.path.join(_CPP_DIR, "adpcm.cpp"), "adpcm")
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+            lib.adpcm_encode_i16.restype = None
+            lib.adpcm_encode_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
+
+            def encode(x: np.ndarray, out: np.ndarray) -> None:
+                lib.adpcm_encode_i16(
+                    x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    ctypes.c_int64(x.size),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+            _adpcm_holder["fn"] = encode
+        except Exception:
+            _adpcm_holder["fn"] = None
+        return _adpcm_holder["fn"]
+
+
 def get() -> Optional[_NativeLib]:
     """Return the native lib, compiling on first use; None if unavailable."""
     with _lock:

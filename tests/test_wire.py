@@ -161,3 +161,150 @@ def test_mixed_dtype_falls_back_to_f32_wire():
     a = _asr("mulaw")
     texts = a.transcribe_wavs(ws)
     assert len(texts) == 2                   # no crash; f32 wire used
+
+
+# ---- 4-bit block-adaptive ADPCM wire (PERF.md lever #6) ---------------------
+
+def _adpcm_roundtrip(x_i16):
+    K = F.ADPCM_K
+    L = (len(x_i16) + K - 1) // K * K
+    xi = np.zeros(L, np.int16)
+    xi[: len(x_i16)] = x_i16
+    buf = F.adpcm_encode_flat(xi)
+    dec = np.asarray(F.adpcm_decode_flat(jnp.asarray(buf), L // K))
+    return xi, dec[:L] * 32768.0, buf
+
+
+def test_adpcm_device_decode_bit_exact_to_encoder_state():
+    """The jnp decode scan must reproduce the numpy encoder's internal
+    int32 reconstruction EXACTLY — the codec is only correct if the two
+    integer state machines are mirrors (no float in either loop)."""
+    rng = np.random.RandomState(7)
+    K = F.ADPCM_K
+    x = (rng.randn(4 * K) * 9000).clip(-32768, 32767).astype(np.int16)
+    # re-run the encoder while tracking its reconstruction
+    xi = x.astype(np.int32).reshape(-1, K)
+    nb = xi.shape[0]
+    pred0 = np.concatenate([[0], xi[:-1, -1]]).astype(np.int32)
+    acc = np.abs(np.diff(xi, axis=1, prepend=pred0[:, None])).sum(1,
+                                                                  np.int64)
+    table = (8 + (np.arange(96) & 7)) << (np.arange(96) >> 3)
+    idx = np.minimum(np.searchsorted(table, np.maximum(acc >> 7, 8)),
+                     95).astype(np.int32)
+    pred = pred0.copy()
+    recon = np.empty((nb, K), np.int32)
+    for t in range(K):
+        step = (8 + (idx & 7)) << (idx >> 3)
+        diff = xi[:, t] - pred
+        sign = (diff < 0).astype(np.int32)
+        mag = np.minimum((np.abs(diff) << 2) // step, 7)
+        dq = ((2 * mag + 1) * step) >> 3
+        pred = np.clip(pred + np.where(sign, -dq, dq), -32768, 32767)
+        idx = np.clip(idx + np.where(mag < 4, -1, 2 * (mag - 3)), 0, 95)
+        recon[:, t] = pred
+    buf = F.adpcm_encode_flat(x)
+    dec = np.asarray(F.adpcm_decode_flat(jnp.asarray(buf), nb))
+    got = np.round(dec * 32768.0).astype(np.int32)
+    np.testing.assert_array_equal(got, recon.reshape(-1))
+
+
+def test_adpcm_native_encoder_bit_identical_to_numpy(monkeypatch):
+    """The C++ encoder (runtime/cpp/adpcm.cpp) and the numpy fallback
+    must emit byte-identical wires — same integer state machine, same
+    searchsorted header math."""
+    from chinese_asr_tpu.runtime import native
+    lib = native.get_adpcm()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(11)
+    K = F.ADPCM_K
+    x = np.concatenate([
+        (rng.randn(3 * K) * 11000).clip(-32768, 32767).astype(np.int16),
+        np.zeros(K, np.int16),                       # silence block
+        np.full(K, 32767, np.int16),                 # clipped block
+        (np.sin(np.arange(2 * K) / 5.0) * 30000).astype(np.int16),
+    ])
+    want = F.adpcm_encode_flat(x)                    # native path
+    monkeypatch.setattr(native, "get_adpcm", lambda: None)
+    got = F.adpcm_encode_flat(x)                     # numpy path
+    np.testing.assert_array_equal(got, want)
+
+
+def test_adpcm_roundtrip_snr():
+    rng = np.random.RandomState(8)
+    n = 16000
+    # speech-like (strongly correlated): AR-filtered noise + a tone
+    x = np.convolve(rng.randn(n), 0.95 ** np.arange(200), "full")[:n]
+    x += 0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000) * \
+        np.abs(x).mean()
+    x = (x / np.abs(x).max() * 20000).astype(np.int16)
+    xi, dec, buf = _adpcm_roundtrip(x)
+    err = xi.astype(np.float64) - dec
+    snr = 10 * np.log10((xi.astype(np.float64) ** 2).mean() /
+                        (err ** 2).mean())
+    assert snr > 24.0, snr                       # measured ~27 dB
+    assert buf.nbytes <= 0.26 * xi.nbytes        # 4 bit + 1.2% headers
+    # white noise (no prediction gain) is the codec's worst case; it
+    # must still stay comfortably above the mel front end's floor
+    w = (rng.randn(n) * 6000).clip(-32768, 32767).astype(np.int16)
+    wi, wd, _ = _adpcm_roundtrip(w)
+    werr = wi.astype(np.float64) - wd
+    wsnr = 10 * np.log10((wi.astype(np.float64) ** 2).mean() /
+                         (werr ** 2).mean())
+    assert wsnr > 12.0, wsnr                     # measured ~14.6 dB
+    # silence codes to (near) silence: mag-0 steps wobble by <= step/8
+    z, zd, _ = _adpcm_roundtrip(np.zeros(F.ADPCM_K * 2, np.int16))
+    assert np.abs(zd).max() <= 2.0
+
+
+def test_adpcm_wire_transcript_parity_on_overfit_model():
+    """Same campaign as the mu-law wire: on a model confident on its
+    inputs, the 4-bit wire must not flip a transcript."""
+    import functools
+    from chinese_asr_tpu.models import las
+    from chinese_asr_tpu.train import optim
+    from chinese_asr_tpu.train.step import Batch, train_step
+
+    cfg = SMALL
+    rng = np.random.RandomState(9)
+    ws = _wavs(rng, 10)
+    lens = np.array([len(w) for w in ws], np.int32)
+    N = int(lens.max())
+    mat = np.zeros((10, N), np.int16)
+    for i, w in enumerate(ws):
+        mat[i, : len(w)] = w
+    feats, flens = F.featurize_batch(jnp.asarray(mat), jnp.asarray(lens),
+                                     cfg.audio, norm_eps=1e-6)
+    S = 5
+    text = np.tile(np.arange(4, 4 + S - 1)[None, :], (10, 1)).astype(np.int32)
+    batch = Batch(
+        feats, flens,
+        jnp.asarray(np.concatenate(
+            [np.full((10, 1), cfg.vocab.sos), text], 1).astype(np.int32)),
+        jnp.asarray(np.concatenate(
+            [text, np.full((10, 1), cfg.vocab.eos)], 1).astype(np.int32)),
+        jnp.asarray(np.full(10, S, np.int32)))
+
+    params = las.init_params(jax.random.PRNGKey(1), cfg)
+    tx = optim.make_optimizer(cfg.train)
+    opt = tx.init(params)
+    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
+    for i in range(300):
+        params, opt, m = step(params, opt, batch=batch,
+                              rng=jax.random.PRNGKey(i))
+    assert float(m["accuracy"]) > 0.99
+
+    a16 = _asr("flat")
+    a4 = _asr("adpcm")
+    a16.params = a4.params = params
+    t16 = a16.transcribe_wavs(ws, max_batch=4)
+    t4 = a4.transcribe_wavs(ws, max_batch=4)
+    assert t16 == t4, f"adpcm changed transcripts: {t16} vs {t4}"
+    assert t16[0] == "".join(f"<{i}>" for i in range(4, 4 + S - 1))
+
+
+def test_adpcm_mixed_dtype_falls_back_to_f32_wire():
+    ws = [np.zeros(1000, np.int16), np.ones(500, np.float32) * 0.1]
+    a = _asr("adpcm")
+    texts = a.transcribe_wavs(ws)
+    assert len(texts) == 2

@@ -59,7 +59,8 @@ def main():
         print(f"  {label:<28}{dt * 1e3:8.1f} ms")
         return dt
 
-    for wire in ("padded", "flat", "mulaw"):
+    wires = sys.argv[1:] or ("padded", "flat", "mulaw", "adpcm")
+    for wire in wires:
         asr = ASR(cfg=cfg, bw=16, wire=wire,
                   vocab=_identity_vocab(cfg.vocab.vocab_size))
         asr.params = params
