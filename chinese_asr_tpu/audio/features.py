@@ -449,9 +449,16 @@ def adpcm_encode_flat(x: "np.ndarray", out: "np.ndarray" = None):
     assert x.dtype == _np.int16 and len(x) % K == 0, (x.dtype, len(x))
     if out is None:
         out = _np.empty(adpcm_bytes(len(x)), _np.uint8)
+    else:
+        # the C++ kernel writes through raw pointers — validate up front
+        assert out.dtype == _np.uint8 and out.flags["C_CONTIGUOUS"] \
+            and out.size == adpcm_bytes(len(x)), \
+            (out.dtype, out.flags["C_CONTIGUOUS"], out.size)
+    if not len(x):
+        return out
     from ..runtime import native
     lib = native.get_adpcm()
-    if lib is not None and len(x):
+    if lib is not None:
         lib(_np.ascontiguousarray(x), out)
         return out
     xi = x.astype(_np.int32)

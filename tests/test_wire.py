@@ -230,6 +230,24 @@ def test_adpcm_native_encoder_bit_identical_to_numpy(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_adpcm_encode_edge_inputs():
+    """ADVICE r3: zero-length input returns an empty wire (both paths),
+    and a caller-supplied ``out`` buffer is validated before the raw
+    pointers reach the C++ kernel."""
+    empty = F.adpcm_encode_flat(np.zeros(0, np.int16))
+    assert empty.dtype == np.uint8 and empty.size == 0
+    x = np.zeros(F.ADPCM_K, np.int16)
+    good = np.empty(F.adpcm_bytes(len(x)), np.uint8)
+    assert F.adpcm_encode_flat(x, out=good) is good
+    with pytest.raises(AssertionError):
+        F.adpcm_encode_flat(x, out=np.empty(3, np.uint8))      # undersized
+    with pytest.raises(AssertionError):
+        F.adpcm_encode_flat(x, out=good.astype(np.int16))      # wrong dtype
+    with pytest.raises(AssertionError):                        # non-contig
+        F.adpcm_encode_flat(
+            x, out=np.empty((F.adpcm_bytes(len(x)), 2), np.uint8)[:, 0])
+
+
 def test_adpcm_roundtrip_snr():
     rng = np.random.RandomState(8)
     n = 16000
