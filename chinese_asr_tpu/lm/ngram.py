@@ -7,14 +7,16 @@ The reference loads a KenLM binary model and calls
 Here the scorer is first-party:
 
 * ``NgramLM`` — loads an **ARPA** text file or a **KenLM binary**
-  (``.klm``, PROBING layout — the format of the reference's shipped
+  (``.klm``: the PROBING layout — the format of the reference's shipped
   artifact ``zh_giga.no_cna_cmn.prune01244.klm``, reference gpd.py:121 /
-  main.py:126) through the C++ kernel (runtime/cpp/ngram_lm.cpp, ctypes
-  ABI), with a pure-Python fallback for ARPA only.  API mirrors kenlm:
+  main.py:126 — and the TRIE family: TRIE / QUANT_TRIE / ARRAY_TRIE /
+  QUANT_ARRAY_TRIE, kenlm build_binary's ``trie [-q N -b M] [-a K]``)
+  through the C++ kernel (runtime/cpp/ngram_lm.cpp, ctypes ABI), with a
+  pure-Python fallback for ARPA only.  API mirrors kenlm:
   ``score(sentence, bos=True, eos=True)`` returns the sum of log10
   conditional probabilities with Katz backoff; ``base_score`` is the
   incremental variant.  ``write_binary`` is the matching build_binary
-  equivalent (ARPA -> .klm converter).
+  equivalent (ARPA -> .klm converter, every supported layout).
 * ``score_batch`` scores a whole n-best list in one FFI call — the
   batched host-side rescoring path for the v5e service config
   (SURVEY.md section 2.b).
@@ -121,6 +123,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.lm_last_error.argtypes = []
     lib.lm_write_binary.restype = ctypes.c_int32
     lib.lm_write_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lm_write_binary_ex.restype = ctypes.c_int32
+    lib.lm_write_binary_ex.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_int32]
+    lib.lm_model_type.restype = ctypes.c_int32
+    lib.lm_model_type.argtypes = [ctypes.c_void_p]
     lib.lm_free.argtypes = [ctypes.c_void_p]
     lib.lm_order.restype = ctypes.c_int32
     lib.lm_order.argtypes = [ctypes.c_void_p]
@@ -208,15 +216,39 @@ class NgramLM:
         self._py = PyNgramLM(path)
         self.order = self._py.order
 
-    def write_binary(self, path: str) -> None:
-        """Write this (ARPA-loaded) model as a KenLM PROBING binary —
-        the build_binary equivalent.  The output loads through both this
-        class and kenlm itself."""
+    #: kenlm lm/model_type.hh values accepted by write_binary
+    LAYOUTS = {"probing": 0, "trie": 2, "quant_trie": 3, "array_trie": 4,
+               "quant_array_trie": 5}
+
+    def write_binary(self, path: str, layout: str = "probing",
+                     prob_bits: int = 8, backoff_bits: int = 8,
+                     bhiksha_bits: int = 22) -> None:
+        """Write this (ARPA-loaded) model as a KenLM binary — the
+        build_binary equivalent.  ``layout`` picks the search family:
+        ``probing`` (kenlm's default), ``trie``, ``quant_trie`` (kenlm
+        ``trie -q N -b M``), ``array_trie`` / ``quant_array_trie``
+        (``-a K`` Bhiksha pointer compression).  The output loads through
+        both this class and kenlm itself."""
         if self._py is not None:
             raise RuntimeError("write_binary needs the C++ LM kernel")
-        if not self._lib.lm_write_binary(self._h, path.encode("utf-8")):
+        mt = self.LAYOUTS.get(layout)
+        if mt is None:
+            raise ValueError(f"unknown layout {layout!r}; "
+                             f"one of {sorted(self.LAYOUTS)}")
+        if not self._lib.lm_write_binary_ex(self._h, path.encode("utf-8"),
+                                            mt, prob_bits, backoff_bits,
+                                            bhiksha_bits):
             err = self._lib.lm_last_error().decode("utf-8", "replace")
             raise RuntimeError(f"write_binary failed: {err}")
+
+    @property
+    def model_type(self) -> int:
+        """-1 for ARPA-loaded models, else the kenlm binary model_type
+        (0 PROBING, 2 TRIE, 3 QUANT_TRIE, 4 ARRAY_TRIE,
+        5 QUANT_ARRAY_TRIE)."""
+        if self._py is not None:
+            return -1
+        return int(self._lib.lm_model_type(self._h))
 
     # ---- helpers -----------------------------------------------------------
     def _ids(self, words: Sequence[str]) -> np.ndarray:

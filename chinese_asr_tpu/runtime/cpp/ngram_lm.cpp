@@ -17,15 +17,26 @@
 //     first; host-side rescoring is not the bottleneck), a string->id
 //     vocab hash, and batched scoring entry points so a whole n-best list
 //     is scored in one FFI call.
-//   * KenLM **binary** (.klm, PROBING layout) -> scored directly from the
-//     memory image the way kenlm does: MurmurHash64A word hashes into the
-//     probing vocab table, reversed-fold CombineWordHash n-gram keys into
-//     per-order linear-probing tables.  This is the format of the
-//     reference's shipped artifact zh_giga.no_cna_cmn.prune01244.klm
-//     (reference gpd.py:121, main.py:126).  TRIE-family layouts
-//     (bit-packed/quantized) are rejected with a convert hint.
-//     lm_write_binary() is the matching build_binary equivalent, used both
-//     as a converter and to validate the reader by roundtrip.
+//   * KenLM **binary** (.klm) -> scored directly from the memory image the
+//     way kenlm does.  BOTH search families are implemented:
+//       - PROBING: MurmurHash64A word hashes into the probing vocab table,
+//         reversed-fold CombineWordHash n-gram keys into per-order
+//         linear-probing tables.  This is the format of the reference's
+//         shipped artifact zh_giga.no_cna_cmn.prune01244.klm (reference
+//         gpd.py:121, main.py:126).
+//       - TRIE / QUANT_TRIE / ARRAY_TRIE / QUANT_ARRAY_TRIE: sorted-hash
+//         vocabulary, reversed (suffix-first) bit-packed trie levels with
+//         inline or Bhiksha-array-compressed next pointers, and optional
+//         separately-quantized prob/backoff bins (kenlm build_binary's
+//         `trie [-q N -b M] [-a K]` family).  Layout per kenlm lm/trie.hh,
+//         lm/quantize.hh, lm/bhiksha.hh, util/bit_packing.hh.
+//       - REST_PROBING stores different (rest) values and stays rejected
+//         with a convert hint.
+//     lm_write_binary[_ex]() is the matching build_binary equivalent (both
+//     families), used both as a converter and to validate the readers by
+//     roundtrip + ARPA score differential (pruned-suffix "blank" entries
+//     are materialized with their exactly backed-off probability, so trie
+//     scores equal ARPA scores by construction).
 //
 // KenLM binary layout implemented (from kenlm lm/binary_format.hh/cc,
 // lm/vocab.hh/cc, lm/search_hashed.hh, util/probing_hash_table.hh):
@@ -56,13 +67,16 @@
 //   h = w[n-1]; for i = n-2..0: h = (h * 8978948897894561157) ^
 //                                   ((1 + w[i]) * 17894857484156487943)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <memory>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -449,23 +463,23 @@ double bin_score_one(const BinModel* m, const uint32_t* ctx, int ctx_len,
   return backoff_sum - 100.0;
 }
 
-BinModel* load_binary(FILE* f, long file_size) {
-  std::unique_ptr<BinModel> m(new BinModel());
-  m->data.resize(size_t(file_size));
-  if (std::fread(m->data.data(), 1, size_t(file_size), f) !=
-      size_t(file_size)) {
-    set_error("short read");
-    return nullptr;
-  }
-  const char* p = m->data.data();
-  if (size_t(file_size) < kSanitySize + kFixedParamsSize) {
+struct HeaderInfo {
+  int order = 0;
+  int32_t model_type = 0;
+  uint64_t counts[kMaxOrder] = {0};
+};
+
+bool parse_header(const std::vector<char>& data, HeaderInfo* hi) {
+  const char* p = data.data();
+  const size_t file_size = data.size();
+  if (file_size < kSanitySize + kFixedParamsSize) {
     set_error("file too small for a kenlm binary header");
-    return nullptr;
+    return false;
   }
   if (std::memcmp(p, kMagicBytes, kMagicLen) != 0) {
     set_error("kenlm binary magic mismatch (unsupported format version; "
               "this reader implements 'format version 5')");
-    return nullptr;
+    return false;
   }
   // sanity reference values (endianness / type-width check)
   float f0, f1, fm;
@@ -474,39 +488,45 @@ BinModel* load_binary(FILE* f, long file_size) {
   std::memcpy(&fm, p + kMagicField + 8, 4);
   if (f0 != 0.f || f1 != 1.f || fm != -0.5f) {
     set_error("kenlm binary sanity floats mismatch (foreign endianness?)");
-    return nullptr;
+    return false;
   }
   const char* fp = p + kSanitySize;
-  int order = static_cast<unsigned char>(fp[0]);
-  int32_t model_type;
-  std::memcpy(&model_type, fp + 8, 4);
-  if (model_type != 0) {
-    static const char* kNames[] = {"PROBING", "REST_PROBING", "TRIE",
-                                   "QUANT_TRIE", "ARRAY_TRIE",
-                                   "QUANT_ARRAY_TRIE"};
-    std::string name = (model_type >= 0 && model_type < 6)
-                           ? kNames[model_type] : "unknown";
-    set_error("kenlm binary model_type " + std::to_string(model_type) +
-              " (" + name + ") is not supported; only PROBING is. "
-              "Rebuild with kenlm's `build_binary probing in.arpa out.klm`"
-              " or load the ARPA directly.");
-    return nullptr;
+  hi->order = static_cast<unsigned char>(fp[0]);
+  std::memcpy(&hi->model_type, fp + 8, 4);
+  if (hi->order < 1 || hi->order > kMaxOrder) {
+    set_error("unsupported order " + std::to_string(hi->order));
+    return false;
   }
-  if (order < 1 || order > kMaxOrder) {
-    set_error("unsupported order " + std::to_string(order));
-    return nullptr;
-  }
-  m->order = order;
-  if (size_t(file_size) < header_size(order) + align8(kVocabHeaderSize)) {
+  if (file_size < header_size(hi->order) + align8(kVocabHeaderSize)) {
     set_error("kenlm binary truncated inside the header");
-    return nullptr;
+    return false;
   }
   const char* cp = p + kSanitySize + kFixedParamsSize;
+  for (int i = 0; i < hi->order; ++i) {
+    std::memcpy(&hi->counts[i], cp + 8 * i, 8);
+    // hard cap before any size arithmetic: a corrupt count must fail
+    // cleanly, not overflow size_t into out-of-bounds table pointers.
+    // 2^40 entries x <=2^7 bits each stays far inside 64-bit byte math,
+    // and no real model approaches it.
+    if (hi->counts[i] >> 40) {
+      set_error("kenlm binary corrupt: ngram count " +
+                std::to_string(hi->counts[i]) + " exceeds file capacity");
+      return false;
+    }
+  }
+  return true;
+}
+
+BinModel* load_probing(std::vector<char>&& image, const HeaderInfo& hi) {
+  std::unique_ptr<BinModel> m(new BinModel());
+  m->data = std::move(image);
+  const char* p = m->data.data();
+  const size_t file_size = m->data.size();
+  const int order = hi.order;
+  m->order = order;
   for (int i = 0; i < order; ++i) {
-    std::memcpy(&m->counts[i], cp + 8 * i, 8);
-    // sanity before any bucket arithmetic: a corrupt count must fail
-    // cleanly, not overflow size_t into out-of-bounds table pointers
-    // (file_size/12 bounds any real entry count)
+    m->counts[i] = hi.counts[i];
+    // probing entries are >= 12 bytes each
     if (m->counts[i] > uint64_t(file_size) / 12 + 1) {
       set_error("kenlm binary corrupt: ngram count " +
                 std::to_string(m->counts[i]) + " exceeds file capacity");
@@ -565,6 +585,420 @@ BinModel* load_binary(FILE* f, long file_size) {
   }
   m->bos_id = bin_vocab_id(m.get(), "<s>", 3);
   m->eos_id = bin_vocab_id(m.get(), "</s>", 4);
+  return m.release();
+}
+
+// ---------------------------------------------------------------------------
+// KenLM binary TRIE family (model_type 2..5)
+//
+// Layout (kenlm lm/trie.hh, lm/quantize.hh, lm/bhiksha.hh,
+// util/bit_packing.hh), after the shared [Sanity][FixedWidthParameters]
+// [counts] header:
+//   [sorted vocab]   u64 stored-entry count, then counts[0] x u64 slots of
+//                    sorted murmur hashes (<unk> is NOT stored; word id =
+//                    sorted position + 1, misses -> 0)
+//   [quant tables]   QUANT_* only: u8 prob_bits, u8 backoff_bits, 6 pad;
+//                    per middle order: 2^pb f32 prob bins + 2^bb f32
+//                    backoff bins (bins [0]=-0.0 "no extension",
+//                    [1]=+0.0 "extension" are reserved); longest order:
+//                    2^pb f32 prob bins
+//   [unigram]        (counts[0]+2) x {f32 prob, f32 backoff, u64 next}
+//                    indexed by word id; entry bound terminates ranges
+//   [middles]        per order n in 2..order-1: a Bhiksha region (plain
+//                    TRIE: one u64 of slack; ARRAY_*: u64 header whose
+//                    byte 0 is the version and byte 1 the configured
+//                    bhiksha bit budget, then (counts[n]>>inline_bits)+1
+//                    u64 high-bit offsets) followed by a bit-packed array
+//                    of (counts[n-1]+1) records [word|prob/backoff|next],
+//                    8 slack bytes.  Non-quant prob is a 31-bit
+//                    sign-dropped f32, backoff a full f32; quant packs
+//                    (prob_idx << backoff_bits) | backoff_idx.  next
+//                    pointers index the NEXT level's records; record i's
+//                    child range is [next_i, next_{i+1}).
+//   [longest]        bit-packed (counts[order-1]+1) x [word|prob]
+//
+// The trie is SUFFIX-FIRST: an n-gram (w1..wn) hangs off unigram[wn] ->
+// middle entry storing w_{n-1} -> ... -> entry storing w1, and each
+// level's records sort by (w_n, .., w_1).  Pruned models whose (w2..wn)
+// suffix is absent get a "blank" placeholder; our writer materializes
+// blanks with the exactly backed-off probability, making trie scores
+// equal ARPA scores by construction (kenlm's own blank probabilities are
+// the basis probability of the longest real suffix, the same value).
+// ---------------------------------------------------------------------------
+
+inline uint64_t read_bits(const char* base, uint64_t bit_off, uint8_t len) {
+  uint64_t w;
+  std::memcpy(&w, base + (bit_off >> 3), 8);
+  w >>= (bit_off & 7);
+  return len >= 64 ? w : (w & ((uint64_t(1) << len) - 1));
+}
+
+inline void write_bits(char* base, uint64_t bit_off, uint8_t len,
+                       uint64_t v) {
+  if (!len) return;
+  if (len < 64) v &= (uint64_t(1) << len) - 1;
+  uint64_t w;
+  std::memcpy(&w, base + (bit_off >> 3), 8);
+  w |= v << (bit_off & 7);
+  std::memcpy(base + (bit_off >> 3), &w, 8);
+}
+
+constexpr uint32_t kF32SignBit = 0x80000000u;
+
+inline float bits_to_f32(uint32_t u) {
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+inline uint32_t f32_to_bits(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  return u;
+}
+
+// kenlm stores non-positive (log10) probabilities in 31 bits by dropping
+// the always-set sign bit (util::ReadNonPositiveFloat31)
+inline float read_npf31(const char* base, uint64_t off) {
+  return bits_to_f32(uint32_t(read_bits(base, off, 31)) | kF32SignBit);
+}
+
+inline void write_npf31(char* base, uint64_t off, float f) {
+  write_bits(base, off, 31, f32_to_bits(f) & ~kF32SignBit);
+}
+
+inline float read_f32b(const char* base, uint64_t off) {
+  return bits_to_f32(uint32_t(read_bits(base, off, 32)));
+}
+
+inline void write_f32b(char* base, uint64_t off, float f) {
+  write_bits(base, off, 32, f32_to_bits(f));
+}
+
+// util::RequiredBits — bits to represent max_value itself
+inline uint8_t required_bits(uint64_t max_value) {
+  if (!max_value) return 0;
+  uint8_t r = 1;
+  while (max_value >>= 1) ++r;
+  return r;
+}
+
+inline uint64_t u64_at(const char* base, uint64_t i) {
+  uint64_t v;
+  std::memcpy(&v, base + 8 * i, 8);
+  return v;
+}
+
+inline float f32_at(const char* base, uint64_t i) {
+  float v;
+  std::memcpy(&v, base + 4 * i, 4);
+  return v;
+}
+
+// lm/bhiksha.cc ChopBits: how many high bits of the next pointers move
+// into the offsets array (minimizes table-bits minus inline-bit savings)
+uint8_t chop_bits(uint64_t max_offset, uint64_t max_next,
+                  uint8_t bhiksha_bits) {
+  const uint8_t required = required_bits(max_next);
+  uint8_t best = 0;
+  int64_t lowest = std::numeric_limits<int64_t>::max();
+  const uint8_t hi = required < bhiksha_bits ? required : bhiksha_bits;
+  for (uint8_t chop = 0; chop <= hi; ++chop) {
+    const int64_t change =
+        int64_t(max_next >> (required - chop)) * 64 -
+        int64_t(max_offset) * int64_t(chop);
+    if (change < lowest) {
+      lowest = change;
+      best = chop;
+    }
+  }
+  return best;
+}
+
+struct TrieLevel {
+  const char* bits = nullptr;     // bit-packed records
+  uint64_t entries = 0;
+  uint8_t word_bits = 0, quant_bits = 0, next_bits = 0, total_bits = 0;
+  const char* bh_offsets = nullptr;  // ArrayBhiksha high-bit index (u64s)
+  uint64_t bh_count = 0;
+  const char* prob_table = nullptr;     // quant bins (f32s)
+  const char* backoff_table = nullptr;  // quant bins (f32s)
+};
+
+struct TrieModel {
+  std::vector<char> data;  // whole file image
+  int order = 0;
+  int32_t model_type = 2;
+  uint64_t counts[kMaxOrder] = {0};
+  const char* vocab_hashes = nullptr;  // sorted u64 murmur hashes
+  uint64_t vocab_entries = 0;          // excludes <unk>
+  uint32_t bound = 0;                  // vocab_entries + 1
+  const char* unigram = nullptr;       // (counts[0]+2) x 16B
+  TrieLevel mid[kMaxOrder];            // mid[n-2] for order n in 2..order-1
+  TrieLevel longest;
+  uint8_t prob_bits = 0, backoff_bits = 0;  // 0 => not quantized
+  const char* longest_table = nullptr;
+  uint32_t bos_id = 0, eos_id = 0;
+};
+
+uint32_t trie_vocab_id(const TrieModel* m, const char* word, size_t len) {
+  const uint64_t h = murmur64a(word, len, 0);
+  uint64_t lo = 0, hi = m->vocab_entries;
+  while (lo < hi) {
+    const uint64_t mid = lo + (hi - lo) / 2;
+    if (u64_at(m->vocab_hashes, mid) < h) lo = mid + 1;
+    else hi = mid;
+  }
+  if (lo < m->vocab_entries && u64_at(m->vocab_hashes, lo) == h)
+    return uint32_t(lo + 1);  // +1: <unk> is 0 and never stored
+  return 0;
+}
+
+void trie_unigram_at(const TrieModel* m, uint32_t w, float* prob,
+                     float* backoff, uint64_t* begin, uint64_t* end) {
+  const char* u = m->unigram + size_t(w) * 16;
+  if (prob) std::memcpy(prob, u, 4);
+  if (backoff) std::memcpy(backoff, u + 4, 4);
+  if (begin) {
+    std::memcpy(begin, u + 8, 8);
+    std::memcpy(end, u + 24, 8);
+  }
+}
+
+// binary search for `word` among records [begin, end) of a level
+bool trie_level_find(const TrieLevel& L, uint32_t word, uint64_t begin,
+                     uint64_t end, uint64_t* at) {
+  while (begin < end) {
+    const uint64_t mid = begin + (end - begin) / 2;
+    const uint64_t w = read_bits(L.bits, mid * L.total_bits, L.word_bits);
+    if (w < word) begin = mid + 1;
+    else if (w > word) end = mid;
+    else { *at = mid; return true; }
+  }
+  return false;
+}
+
+// position of the last offsets-array entry <= index (ArrayBhiksha read);
+// entry 0 is always 0, so the result is well-defined
+uint64_t bh_high(const TrieLevel& L, uint64_t index) {
+  uint64_t lo = 0, hi = L.bh_count;
+  while (lo < hi) {
+    const uint64_t mid = lo + (hi - lo) / 2;
+    if (u64_at(L.bh_offsets, mid) <= index) lo = mid + 1;
+    else hi = mid;
+  }
+  return lo - 1;
+}
+
+// decode record i of a middle level: prob/backoff and the child range
+void trie_mid_read(const TrieModel* m, const TrieLevel& L, uint64_t i,
+                   float* prob, float* backoff, uint64_t* begin,
+                   uint64_t* end) {
+  uint64_t bit = i * L.total_bits + L.word_bits;
+  if (m->prob_bits) {
+    const uint64_t enc = read_bits(L.bits, bit, L.quant_bits);
+    if (prob) *prob = f32_at(L.prob_table, enc >> m->backoff_bits);
+    if (backoff)
+      *backoff = f32_at(L.backoff_table,
+                        enc & ((uint64_t(1) << m->backoff_bits) - 1));
+  } else {
+    if (prob) *prob = read_npf31(L.bits, bit);
+    if (backoff) *backoff = read_f32b(L.bits, bit + 31);
+  }
+  if (begin) {
+    bit = (i + 1) * L.total_bits - L.next_bits;
+    *begin = read_bits(L.bits, bit, L.next_bits);
+    *end = read_bits(L.bits, bit + L.total_bits, L.next_bits);
+    if (L.bh_offsets) {
+      *begin |= bh_high(L, i) << L.next_bits;
+      *end |= bh_high(L, i + 1) << L.next_bits;
+    }
+  }
+}
+
+float trie_longest_prob(const TrieModel* m, uint64_t i) {
+  const uint64_t bit = i * m->longest.total_bits + m->longest.word_bits;
+  if (m->prob_bits)
+    return f32_at(m->longest_table,
+                  read_bits(m->longest.bits, bit, m->prob_bits));
+  return read_npf31(m->longest.bits, bit);
+}
+
+// p(w | ctx): walk unigram[w] backward through the context (suffix-first
+// trie), then add the backoff weights of the context suffixes longer than
+// the match — same Katz walk as score_one/bin_score_one
+double trie_score_one(const TrieModel* m, const uint32_t* ctx, int ctx_len,
+                      uint32_t w) {
+  if (ctx_len > m->order - 1) {
+    ctx += ctx_len - (m->order - 1);
+    ctx_len = m->order - 1;
+  }
+  if (w >= m->bound) w = 0;
+  float prob;
+  uint64_t b, e;
+  trie_unigram_at(m, w, &prob, nullptr, &b, &e);
+  double ret = prob;
+  int matched = 0;  // context words of the longest match
+  for (int k = 1; k <= ctx_len && b < e; ++k) {
+    uint32_t cw = ctx[ctx_len - k];
+    if (cw >= m->bound) cw = 0;
+    uint64_t at;
+    if (k + 1 == m->order) {
+      if (trie_level_find(m->longest, cw, b, e, &at)) {
+        ret = trie_longest_prob(m, at);
+        matched = k;
+      }
+      break;
+    }
+    const TrieLevel& L = m->mid[k - 1];  // order k+1 -> mid[(k+1)-2]
+    if (!trie_level_find(L, cw, b, e, &at)) break;
+    float p2;
+    trie_mid_read(m, L, at, &p2, nullptr, &b, &e);
+    ret = p2;
+    matched = k;
+  }
+  if (matched < ctx_len) {
+    double bo_sum = 0.0;
+    uint32_t c0 = ctx[ctx_len - 1];
+    if (c0 >= m->bound) c0 = 0;
+    float bo;
+    uint64_t cb, ce;
+    trie_unigram_at(m, c0, nullptr, &bo, &cb, &ce);
+    for (int j = 1; j <= ctx_len; ++j) {
+      if (j > matched) bo_sum += bo;
+      if (j == ctx_len || cb >= ce) break;
+      uint32_t cw = ctx[ctx_len - 1 - j];
+      if (cw >= m->bound) cw = 0;
+      // the context suffix of length j+1 is an order-(j+1) n-gram and
+      // j+1 <= order-1, so it always lives in a middle level
+      const TrieLevel& L = m->mid[j - 1];
+      uint64_t at;
+      if (!trie_level_find(L, cw, cb, ce, &at)) break;
+      float nb;
+      trie_mid_read(m, L, at, nullptr, &nb, &cb, &ce);
+      bo = nb;
+    }
+    ret += bo_sum;
+  }
+  return ret;
+}
+
+TrieModel* load_trie(std::vector<char>&& image, const HeaderInfo& hi) {
+  std::unique_ptr<TrieModel> m(new TrieModel());
+  m->data = std::move(image);
+  const char* p = m->data.data();
+  const size_t file_size = m->data.size();
+  m->order = hi.order;
+  m->model_type = hi.model_type;
+  std::memcpy(m->counts, hi.counts, sizeof(m->counts));
+  if (m->order < 2) {
+    set_error("trie binaries need order >= 2");
+    return nullptr;
+  }
+  const bool quant = (hi.model_type == 3 || hi.model_type == 5);
+  const bool array = (hi.model_type >= 4);
+  size_t off = header_size(m->order);
+  auto need = [&](size_t end_off, const char* what) {
+    if (end_off > file_size) {
+      set_error(std::string("kenlm binary truncated inside ") + what);
+      return false;
+    }
+    return true;
+  };
+  // sorted vocabulary: u64 stored count + counts[0] hash slots
+  if (!need(off + 8 + 8 * m->counts[0], "the sorted vocabulary"))
+    return nullptr;
+  uint64_t stored;
+  std::memcpy(&stored, p + off, 8);
+  if (stored > m->counts[0]) {
+    set_error("kenlm binary corrupt: vocab entry count exceeds unigrams");
+    return nullptr;
+  }
+  m->vocab_hashes = p + off + 8;
+  m->vocab_entries = stored;
+  m->bound = uint32_t(stored + 1);
+  off += 8 + 8 * m->counts[0];
+  // quantization tables
+  if (quant) {
+    if (!need(off + 8, "the quantization header")) return nullptr;
+    m->prob_bits = uint8_t(p[off]);
+    m->backoff_bits = uint8_t(p[off + 1]);
+    if (m->prob_bits < 1 || m->prob_bits > 25 || m->backoff_bits < 1 ||
+        m->backoff_bits > 25) {
+      set_error("kenlm binary corrupt: quantization bits out of range");
+      return nullptr;
+    }
+    size_t toff = off + 8;
+    for (int n = 2; n < m->order; ++n) {
+      m->mid[n - 2].prob_table = p + toff;
+      toff += (size_t(1) << m->prob_bits) * 4;
+      m->mid[n - 2].backoff_table = p + toff;
+      toff += (size_t(1) << m->backoff_bits) * 4;
+    }
+    m->longest_table = p + toff;
+    toff += (size_t(1) << m->prob_bits) * 4;
+    if (!need(toff, "the quantization tables")) return nullptr;
+    off = toff;
+  }
+  // unigram array
+  if (!need(off + (m->counts[0] + 2) * 16, "the unigram array"))
+    return nullptr;
+  m->unigram = p + off;
+  off += (m->counts[0] + 2) * 16;
+  // middles
+  const uint8_t word_bits = required_bits(m->counts[0]);
+  uint8_t bhiksha_cfg = 0;
+  if (array && m->order > 2) {
+    // the configured bit budget rides byte 1 of the FIRST middle's
+    // Bhiksha header (kenlm ArrayBhiksha::UpdateConfigFromBinary)
+    if (!need(off + 8, "the bhiksha header")) return nullptr;
+    if (p[off] != 0) {
+      set_error("unsupported ArrayBhiksha version " +
+                std::to_string(int(p[off])));
+      return nullptr;
+    }
+    bhiksha_cfg = uint8_t(p[off + 1]);
+  }
+  for (int n = 2; n < m->order; ++n) {
+    TrieLevel& L = m->mid[n - 2];
+    L.entries = m->counts[n - 1];
+    L.word_bits = word_bits;
+    L.quant_bits =
+        quant ? uint8_t(m->prob_bits + m->backoff_bits) : uint8_t(63);
+    const uint64_t max_next = m->counts[n];
+    if (array) {
+      const uint8_t chop = chop_bits(L.entries + 1, max_next, bhiksha_cfg);
+      L.next_bits = uint8_t(required_bits(max_next) - chop);
+      L.bh_count = (max_next >> L.next_bits) + 1;
+      if (!need(off + 8 * (1 + L.bh_count), "a bhiksha offset array"))
+        return nullptr;
+      L.bh_offsets = p + off + 8;
+      off += 8 * (1 + L.bh_count);
+    } else {
+      L.next_bits = required_bits(max_next);
+      if (!need(off + 8, "a middle header")) return nullptr;
+      off += 8;  // DontBhiksha slack word
+    }
+    L.total_bits = uint8_t(L.word_bits + L.quant_bits + L.next_bits);
+    const size_t bits_size = ((L.entries + 1) * L.total_bits + 7) / 8 + 8;
+    if (!need(off + bits_size, "a middle trie array")) return nullptr;
+    L.bits = p + off;
+    off += bits_size;
+  }
+  // longest
+  {
+    TrieLevel& L = m->longest;
+    L.entries = m->counts[m->order - 1];
+    L.word_bits = word_bits;
+    L.quant_bits = quant ? m->prob_bits : uint8_t(31);
+    L.next_bits = 0;
+    L.total_bits = uint8_t(L.word_bits + L.quant_bits);
+    const size_t bits_size = ((L.entries + 1) * L.total_bits + 7) / 8 + 8;
+    if (!need(off + bits_size, "the longest trie array")) return nullptr;
+    L.bits = p + off;
+  }
+  m->bos_id = trie_vocab_id(m.get(), "<s>", 3);
+  m->eos_id = trie_vocab_id(m.get(), "</s>", 4);
   return m.release();
 }
 
@@ -688,18 +1122,438 @@ bool write_binary(const Model* m, const char* path) {
 }
 
 // ---------------------------------------------------------------------------
+// TRIE-family writer
+// ---------------------------------------------------------------------------
+
+// lm/quantize.cc MakeBins: sort, split into equal-count chunks, center =
+// chunk mean (float cast of the double quotient, matching kenlm)
+void make_bins(std::vector<float>& vals, float* centers, uint64_t bins) {
+  std::sort(vals.begin(), vals.end());
+  size_t start = 0;
+  for (uint64_t i = 0; i < bins; ++i) {
+    const size_t finish = (vals.size() * (i + 1)) / bins;
+    if (finish == start) {
+      centers[i] = i ? centers[i - 1]
+                     : -std::numeric_limits<float>::infinity();
+    } else {
+      double s = 0.0;
+      for (size_t j = start; j < finish; ++j) s += vals[j];
+      centers[i] = float(s / double(finish - start));
+    }
+    start = finish;
+  }
+}
+
+// lm/quantize.hh Bins::Encode: nearest center at or after `reserved`
+uint64_t bins_encode(const float* table, uint64_t n, float v,
+                     uint64_t reserved) {
+  const float* begin = table;
+  const float* above = std::lower_bound(begin + reserved, begin + n, v);
+  if (above == begin + reserved) return reserved < n ? reserved : n - 1;
+  if (above == begin + n) return n - 1;
+  return uint64_t(above - begin) -
+         ((v - *(above - 1)) < (*above - v) ? 1 : 0);
+}
+
+uint64_t bins_encode_backoff(const float* table, uint64_t n, float v) {
+  if (v == 0.0f) return 0;  // kNoExtensionQuant (sign-of-zero is cosmetic)
+  return bins_encode(table, n, v, 2);
+}
+
+struct TEnt {
+  uint32_t ids[kMaxOrder] = {0};
+  float prob = 0.f, backoff = 0.f;
+};
+
+bool write_trie(const Model* m, const char* path, int32_t model_type,
+                int prob_bits, int backoff_bits, int bhiksha_bits) {
+  if (m->order < 2) {
+    set_error("trie layouts need order >= 2; use the probing layout");
+    return false;
+  }
+  const bool quant = (model_type == 3 || model_type == 5);
+  const bool array = (model_type >= 4);
+  if (quant && (prob_bits < 2 || prob_bits > 25 || backoff_bits < 2 ||
+                backoff_bits > 25)) {
+    set_error("quantization bits must be in [2, 25]");
+    return false;
+  }
+  if (array && (bhiksha_bits < 0 || bhiksha_bits > 57)) {
+    set_error("bhiksha bits must be in [0, 57]");
+    return false;
+  }
+  const int order = m->order;
+
+  // ---- sorted vocabulary (kenlm SortedVocabulary: ids follow hash order)
+  std::vector<std::string> by_intern(m->vocab.size());
+  for (const auto& kv : m->vocab) by_intern[kv.second] = kv.first;
+  const uint64_t unk_hash = murmur64a("<unk>", 5, 0);
+  const uint64_t unk_cap = murmur64a("<UNK>", 5, 0);
+  std::vector<std::pair<uint64_t, uint32_t>> hashed;  // (hash, old id)
+  for (size_t i = 0; i < by_intern.size(); ++i) {
+    NgramKey k;
+    k.len = 1;
+    k.ids[0] = uint32_t(i);
+    if (m->grams.find(k) == m->grams.end()) continue;  // unigram words only
+    const uint64_t h =
+        murmur64a(by_intern[i].data(), by_intern[i].size(), 0);
+    if (h == unk_hash || h == unk_cap) continue;  // <unk> is always id 0
+    hashed.emplace_back(h, uint32_t(i));
+  }
+  std::sort(hashed.begin(), hashed.end());
+  std::vector<uint32_t> remap(m->vocab.size(), 0);  // default: <unk>
+  for (size_t j = 0; j < hashed.size(); ++j)
+    remap[hashed[j].second] = uint32_t(j + 1);
+  const uint64_t bound = hashed.size() + 1;
+
+  // every word of every n-gram must have a unigram entry (kenlm requires
+  // this too); otherwise distinct words would silently alias id 0
+  for (const auto& kv : m->grams) {
+    if (kv.first.len < 2) continue;
+    for (int i = 0; i < kv.first.len; ++i) {
+      NgramKey k;
+      k.len = 1;
+      k.ids[0] = kv.first.ids[i];
+      if (m->grams.find(k) == m->grams.end()) {
+        set_error("trie write: n-gram word '" + by_intern[kv.first.ids[i]] +
+                  "' has no unigram entry");
+        return false;
+      }
+    }
+  }
+
+  // ---- per-order entries (old id space) + pruned-suffix blanks
+  std::vector<std::vector<TEnt>> levels(order + 1);
+  std::vector<std::unordered_set<NgramKey, NgramKeyHash>> have(order + 1);
+  for (const auto& kv : m->grams) {
+    const int n = kv.first.len;
+    TEnt e;
+    std::memcpy(e.ids, kv.first.ids, sizeof(e.ids));
+    e.prob = kv.second.logp;
+    e.backoff = kv.second.backoff;
+    levels[n].push_back(e);
+    have[n].insert(kv.first);
+  }
+  for (int n = order; n >= 3; --n) {
+    for (size_t idx = 0; idx < levels[n].size(); ++idx) {
+      NgramKey s;
+      s.len = uint8_t(n - 1);
+      for (int i = 0; i < n - 1; ++i) s.ids[i] = levels[n][idx].ids[i + 1];
+      if (have[n - 1].count(s)) continue;
+      // blank: placeholder on the trie path with the exactly backed-off
+      // probability, so a lookup that stops here returns the ARPA value
+      TEnt blank;
+      std::memcpy(blank.ids, s.ids, sizeof(blank.ids));
+      blank.prob = float(score_one(m, s.ids, n - 2, s.ids[n - 2]));
+      blank.backoff = 0.f;
+      levels[n - 1].push_back(blank);
+      have[n - 1].insert(s);
+    }
+  }
+  if (!quant) {
+    // the 31-bit layout drops the sign bit; probabilities must be <= 0
+    for (int n = 2; n <= order; ++n)
+      for (const TEnt& e : levels[n])
+        if (e.prob > 0.f) {
+          set_error("trie layouts store log-probs in sign-dropped 31-bit "
+                    "floats and this model has a positive one; use the "
+                    "probing layout");
+          return false;
+        }
+  }
+
+  // counts INCLUDING blanks (kenlm BuildTrie: counts = fixed_counts)
+  uint64_t counts[kMaxOrder] = {0};
+  for (int n = 1; n <= order; ++n) counts[n - 1] = levels[n].size();
+
+  // ---- remap to sorted-vocab ids; sort levels in suffix-first order
+  for (int n = 2; n <= order; ++n) {
+    for (TEnt& e : levels[n])
+      for (int i = 0; i < n; ++i) e.ids[i] = remap[e.ids[i]];
+    std::sort(levels[n].begin(), levels[n].end(),
+              [n](const TEnt& a, const TEnt& b) {
+                for (int i = n - 1; i >= 0; --i)
+                  if (a.ids[i] != b.ids[i]) return a.ids[i] < b.ids[i];
+                return false;
+              });
+  }
+
+  // ---- next pointers (record i's children = [next[i], next[i+1]))
+  std::vector<uint64_t> uni_next(bound + 1, 0);
+  {
+    const auto& kids = levels[2];
+    size_t ci = 0;
+    for (uint64_t wid = 0; wid < bound; ++wid) {
+      uni_next[wid] = ci;
+      while (ci < kids.size() && kids[ci].ids[1] == wid) ++ci;
+    }
+    uni_next[bound] = kids.size();
+    if (ci != kids.size()) {
+      set_error("internal: bigram with out-of-range newest word");
+      return false;
+    }
+  }
+  std::vector<std::vector<uint64_t>> nexts(order);
+  for (int n = 2; n < order; ++n) {
+    const auto& par = levels[n];
+    const auto& kids = levels[n + 1];
+    auto& nx = nexts[n];
+    nx.assign(par.size() + 1, 0);
+    size_t ci = 0;
+    for (size_t pi = 0; pi < par.size(); ++pi) {
+      nx[pi] = ci;
+      while (ci < kids.size()) {
+        bool eq = true;  // child's parent = its suffix (drop oldest word)
+        for (int i = 0; i < n; ++i)
+          if (kids[ci].ids[i + 1] != par[pi].ids[i]) { eq = false; break; }
+        if (!eq) break;
+        ++ci;
+      }
+    }
+    nx[par.size()] = kids.size();
+    if (ci != kids.size()) {
+      set_error("internal: orphan n-gram after blank insertion");
+      return false;
+    }
+  }
+
+  // ---- quantization bins
+  std::vector<std::vector<float>> mid_ptabs, mid_btabs;
+  std::vector<float> long_tab;
+  if (quant) {
+    for (int n = 2; n < order; ++n) {
+      std::vector<float> probs, bos;
+      for (const TEnt& e : levels[n]) {
+        probs.push_back(e.prob);
+        if (e.backoff != 0.f) bos.push_back(e.backoff);
+      }
+      std::vector<float> pt(size_t(1) << prob_bits),
+          bt(size_t(1) << backoff_bits);
+      make_bins(probs, pt.data(), pt.size());
+      bt[0] = -0.f;  // kNoExtensionBackoff
+      bt[1] = 0.f;   // kExtensionBackoff
+      make_bins(bos, bt.data() + 2, bt.size() - 2);
+      mid_ptabs.push_back(std::move(pt));
+      mid_btabs.push_back(std::move(bt));
+    }
+    std::vector<float> probs;
+    for (const TEnt& e : levels[order]) probs.push_back(e.prob);
+    long_tab.resize(size_t(1) << prob_bits);
+    make_bins(probs, long_tab.data(), long_tab.size());
+  }
+
+  // ---- layout
+  const uint8_t word_bits = required_bits(counts[0]);
+  const uint8_t mid_qbits = quant ? uint8_t(prob_bits + backoff_bits)
+                                  : uint8_t(63);
+  size_t off = header_size(order);
+  const size_t off_vocab = off;
+  off += 8 + 8 * counts[0];
+  const size_t off_quant = off;
+  if (quant)
+    off += 8 +
+           (size_t(order) - 2) * (((size_t(1) << prob_bits) +
+                                   (size_t(1) << backoff_bits)) * 4) +
+           (size_t(1) << prob_bits) * 4;
+  const size_t off_uni = off;
+  off += (counts[0] + 2) * 16;
+  struct MidPlan {
+    size_t bh_off = 0, bits_off = 0;
+    uint8_t next_bits = 0, total_bits = 0;
+    uint64_t bh_count = 0;
+  };
+  std::vector<MidPlan> plan(order > 2 ? order - 2 : 0);
+  for (int n = 2; n < order; ++n) {
+    MidPlan& mp = plan[n - 2];
+    const uint64_t max_next = counts[n];
+    mp.bh_off = off;
+    if (array) {
+      const uint8_t chop =
+          chop_bits(counts[n - 1] + 1, max_next, uint8_t(bhiksha_bits));
+      mp.next_bits = uint8_t(required_bits(max_next) - chop);
+      mp.bh_count = (max_next >> mp.next_bits) + 1;
+      off += 8 * (1 + mp.bh_count);
+    } else {
+      mp.next_bits = required_bits(max_next);
+      off += 8;  // DontBhiksha slack word
+    }
+    mp.total_bits = uint8_t(word_bits + mid_qbits + mp.next_bits);
+    mp.bits_off = off;
+    off += (size_t(counts[n - 1] + 1) * mp.total_bits + 7) / 8 + 8;
+  }
+  const uint8_t long_qbits = quant ? uint8_t(prob_bits) : 31;
+  const uint8_t long_total = uint8_t(word_bits + long_qbits);
+  const size_t off_long = off;
+  off += (size_t(counts[order - 1] + 1) * long_total + 7) / 8 + 8;
+
+  std::vector<char> out(off, 0);
+  char* p = out.data();
+  // header (Sanity + FixedWidthParameters + counts)
+  std::memcpy(p, kMagicBytes, kMagicLen);
+  const float f0 = 0.f, f1 = 1.f, fm = -0.5f;
+  std::memcpy(p + kMagicField, &f0, 4);
+  std::memcpy(p + kMagicField + 4, &f1, 4);
+  std::memcpy(p + kMagicField + 8, &fm, 4);
+  const uint32_t one32 = 1, max32 = 0xffffffffu;
+  std::memcpy(p + kMagicField + 12, &one32, 4);
+  std::memcpy(p + kMagicField + 16, &max32, 4);
+  const uint64_t one64 = 1;
+  std::memcpy(p + kSanitySize - 8, &one64, 8);
+  char* fp = p + kSanitySize;
+  fp[0] = char(order);
+  std::memcpy(fp + 4, &kProbingMultiplier, 4);
+  std::memcpy(fp + 8, &model_type, 4);
+  fp[12] = 0;  // has_vocabulary = false
+  const uint32_t search_version = 1;  // TrieSearch::kVersion
+  std::memcpy(fp + 16, &search_version, 4);
+  for (int i = 0; i < order; ++i)
+    std::memcpy(p + kSanitySize + kFixedParamsSize + 8 * i, &counts[i], 8);
+  // sorted vocab
+  {
+    const uint64_t stored = hashed.size();
+    std::memcpy(p + off_vocab, &stored, 8);
+    for (size_t j = 0; j < hashed.size(); ++j)
+      std::memcpy(p + off_vocab + 8 + 8 * j, &hashed[j].first, 8);
+  }
+  // quant tables
+  if (quant) {
+    p[off_quant] = char(prob_bits);
+    p[off_quant + 1] = char(backoff_bits);
+    size_t toff = off_quant + 8;
+    for (int n = 2; n < order; ++n) {
+      std::memcpy(p + toff, mid_ptabs[n - 2].data(),
+                  mid_ptabs[n - 2].size() * 4);
+      toff += mid_ptabs[n - 2].size() * 4;
+      std::memcpy(p + toff, mid_btabs[n - 2].data(),
+                  mid_btabs[n - 2].size() * 4);
+      toff += mid_btabs[n - 2].size() * 4;
+    }
+    std::memcpy(p + toff, long_tab.data(), long_tab.size() * 4);
+  }
+  // unigram: prob/backoff reordered to sorted-vocab ids + next pointers
+  {
+    std::vector<Entry> uni(bound);
+    if (m->has_unk) {
+      NgramKey k;
+      k.len = 1;
+      k.ids[0] = m->unk_id;
+      uni[0] = m->grams.at(k);
+    } else {
+      uni[0].logp = -100.f;  // kenlm's unknown_missing_logprob
+    }
+    for (size_t j = 0; j < hashed.size(); ++j) {
+      NgramKey k;
+      k.len = 1;
+      k.ids[0] = hashed[j].second;
+      uni[j + 1] = m->grams.at(k);
+    }
+    for (uint64_t wid = 0; wid <= bound; ++wid) {
+      char* u = p + off_uni + wid * 16;
+      if (wid < bound) {
+        std::memcpy(u, &uni[wid].logp, 4);
+        std::memcpy(u + 4, &uni[wid].backoff, 4);
+      }
+      std::memcpy(u + 8, &uni_next[wid], 8);
+    }
+  }
+  // middles
+  for (int n = 2; n < order; ++n) {
+    const MidPlan& mp = plan[n - 2];
+    char* bits = p + mp.bits_off;
+    const auto& ents = levels[n];
+    const auto& nx = nexts[n];
+    uint64_t bh_filled = 1;  // offsets[0] stays 0
+    if (array) {
+      p[mp.bh_off] = 0;  // kArrayBhikshaVersion
+      p[mp.bh_off + 1] = char(bhiksha_bits);
+    }
+    auto write_next = [&](uint64_t i, uint64_t value) {
+      write_bits(bits, (i + 1) * mp.total_bits - mp.next_bits,
+                 mp.next_bits, value);
+      if (array) {
+        const uint64_t high =
+            mp.next_bits >= 64 ? 0 : (value >> mp.next_bits);
+        while (bh_filled <= high) {
+          std::memcpy(p + mp.bh_off + 8 + 8 * bh_filled, &i, 8);
+          ++bh_filled;
+        }
+      }
+    };
+    for (size_t i = 0; i < ents.size(); ++i) {
+      const uint64_t bit = i * mp.total_bits;
+      write_bits(bits, bit, word_bits, ents[i].ids[0]);
+      if (quant) {
+        const uint64_t pq = bins_encode(mid_ptabs[n - 2].data(),
+                                        mid_ptabs[n - 2].size(),
+                                        ents[i].prob, 0);
+        const uint64_t bq = bins_encode_backoff(mid_btabs[n - 2].data(),
+                                                mid_btabs[n - 2].size(),
+                                                ents[i].backoff);
+        write_bits(bits, bit + word_bits, mid_qbits,
+                   (pq << backoff_bits) | bq);
+      } else {
+        write_npf31(bits, bit + word_bits, ents[i].prob);
+        write_f32b(bits, bit + word_bits + 31, ents[i].backoff);
+      }
+      write_next(i, nx[i]);
+    }
+    write_next(ents.size(), nx[ents.size()]);  // terminator
+    if (array) {
+      const uint64_t tail = ents.size() + 1;  // > any queried index
+      while (bh_filled <= mp.bh_count - 1) {
+        std::memcpy(p + mp.bh_off + 8 + 8 * bh_filled, &tail, 8);
+        ++bh_filled;
+      }
+    }
+  }
+  // longest
+  {
+    char* bits = p + off_long;
+    const auto& ents = levels[order];
+    for (size_t i = 0; i < ents.size(); ++i) {
+      const uint64_t bit = i * long_total;
+      write_bits(bits, bit, word_bits, ents[i].ids[0]);
+      if (quant)
+        write_bits(bits, bit + word_bits, long_qbits,
+                   bins_encode(long_tab.data(), long_tab.size(),
+                               ents[i].prob, 0));
+      else
+        write_npf31(bits, bit + word_bits, ents[i].prob);
+    }
+  }
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) {
+    set_error(std::string("cannot open for write: ") + path);
+    return false;
+  }
+  const bool ok = std::fwrite(out.data(), 1, out.size(), f) == out.size();
+  std::fclose(f);
+  if (!ok) set_error("short write");
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
 // tagged handle: every C ABI entry point dispatches ARPA vs binary
 // ---------------------------------------------------------------------------
 struct Handle {
   Model* arpa = nullptr;
   BinModel* bin = nullptr;
+  TrieModel* trie = nullptr;
 
-  int order() const { return arpa ? arpa->order : bin->order; }
-  uint32_t bos() const { return arpa ? arpa->bos_id : bin->bos_id; }
-  uint32_t eos() const { return arpa ? arpa->eos_id : bin->eos_id; }
+  int order() const {
+    return arpa ? arpa->order : (bin ? bin->order : trie->order);
+  }
+  uint32_t bos() const {
+    return arpa ? arpa->bos_id : (bin ? bin->bos_id : trie->bos_id);
+  }
+  uint32_t eos() const {
+    return arpa ? arpa->eos_id : (bin ? bin->eos_id : trie->eos_id);
+  }
   double one(const uint32_t* ctx, int len, uint32_t w) const {
-    return arpa ? score_one(arpa, ctx, len, w)
-                : bin_score_one(bin, ctx, len, w);
+    if (arpa) return score_one(arpa, ctx, len, w);
+    if (bin) return bin_score_one(bin, ctx, len, w);
+    return trie_score_one(trie, ctx, len, w);
   }
 };
 
@@ -738,12 +1592,31 @@ void* lm_load_arpa(const char* path) {
     std::fseek(f, 0, SEEK_END);
     long size = std::ftell(f);
     std::rewind(f);
-    BinModel* bm = load_binary(f, size);
+    std::vector<char> image(static_cast<size_t>(size), 0);
+    if (std::fread(image.data(), 1, image.size(), f) != image.size()) {
+      std::fclose(f);
+      set_error("short read");
+      return nullptr;
+    }
     std::fclose(f);
-    if (!bm) return nullptr;
+    HeaderInfo hi;
+    if (!parse_header(image, &hi)) return nullptr;
     Handle* h = new Handle();
-    h->bin = bm;
-    return h;
+    if (hi.model_type == 0) {
+      h->bin = load_probing(std::move(image), hi);
+      if (h->bin) return h;
+    } else if (hi.model_type >= 2 && hi.model_type <= 5) {
+      h->trie = load_trie(std::move(image), hi);
+      if (h->trie) return h;
+    } else {
+      set_error("kenlm binary model_type " + std::to_string(hi.model_type) +
+                " (REST_PROBING) stores rest costs, not conditional "
+                "probabilities, and is not supported; rebuild with "
+                "`build_binary probing|trie in.arpa out.klm` or load the "
+                "ARPA directly.");
+    }
+    delete h;
+    return nullptr;
   }
   Model* m = new Model();
   bool ok = parse_arpa(m, f);
@@ -762,10 +1635,38 @@ int32_t lm_write_binary(void* hv, const char* path) {
   return write_binary(h->arpa, path) ? 1 : 0;
 }
 
+// write an ARPA-loaded model as any supported kenlm layout:
+//   model_type 0 = PROBING (prob/backoff/bhiksha params ignored),
+//   2 = TRIE, 3 = QUANT_TRIE, 4 = ARRAY_TRIE, 5 = QUANT_ARRAY_TRIE
+int32_t lm_write_binary_ex(void* hv, const char* path, int32_t model_type,
+                           int32_t prob_bits, int32_t backoff_bits,
+                           int32_t bhiksha_bits) {
+  Handle* h = static_cast<Handle*>(hv);
+  if (!h->arpa) { set_error("write_binary needs an ARPA-loaded model");
+                  return 0; }
+  if (model_type == 0) return write_binary(h->arpa, path) ? 1 : 0;
+  if (model_type < 2 || model_type > 5) {
+    set_error("unsupported model_type " + std::to_string(model_type));
+    return 0;
+  }
+  return write_trie(h->arpa, path, model_type, prob_bits, backoff_bits,
+                    bhiksha_bits) ? 1 : 0;
+}
+
+// -1 = ARPA-loaded; otherwise the kenlm binary model_type (0 PROBING,
+// 2 TRIE, 3 QUANT_TRIE, 4 ARRAY_TRIE, 5 QUANT_ARRAY_TRIE)
+int32_t lm_model_type(void* hv) {
+  Handle* h = static_cast<Handle*>(hv);
+  if (h->arpa) return -1;
+  if (h->bin) return 0;
+  return h->trie->model_type;
+}
+
 void lm_free(void* hv) {
   Handle* h = static_cast<Handle*>(hv);
   delete h->arpa;
   delete h->bin;
+  delete h->trie;
   delete h;
 }
 
@@ -774,9 +1675,10 @@ int32_t lm_order(void* h) { return static_cast<Handle*>(h)->order(); }
 int64_t lm_num_ngrams(void* hv) {
   Handle* h = static_cast<Handle*>(hv);
   if (h->arpa) return static_cast<int64_t>(h->arpa->grams.size());
+  const uint64_t* counts = h->bin ? h->bin->counts : h->trie->counts;
+  const int order = h->bin ? h->bin->order : h->trie->order;
   int64_t total = 0;
-  for (int i = 0; i < h->bin->order; ++i)
-    total += static_cast<int64_t>(h->bin->counts[i]);
+  for (int i = 0; i < order; ++i) total += static_cast<int64_t>(counts[i]);
   return total;
 }
 
@@ -786,6 +1688,8 @@ int64_t lm_vocab_id(void* hv, const char* word) {
   Handle* h = static_cast<Handle*>(hv);
   if (h->bin)
     return bin_vocab_id(h->bin, word, std::strlen(word));
+  if (h->trie)
+    return trie_vocab_id(h->trie, word, std::strlen(word));
   Model* m = h->arpa;
   auto it = m->vocab.find(word);
   if (it != m->vocab.end()) return it->second;

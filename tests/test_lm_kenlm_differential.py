@@ -92,3 +92,49 @@ def test_we_load_kenlm_build_binary(tmp_path):
     for s in SENTS:
         assert ours_bin.score(s, bos=True, eos=True) == pytest.approx(
             theirs.score(s, bos=True, eos=True), abs=1e-4), s
+
+
+@pytest.mark.parametrize("args,atol", [
+    ([], 1e-4),                                    # TRIE
+    (["-q", "8", "-b", "8"], 5e-2),                # QUANT_TRIE
+    (["-a", "22"], 1e-4),                          # ARRAY_TRIE
+    (["-a", "22", "-q", "8", "-b", "8"], 5e-2),    # QUANT_ARRAY_TRIE
+])
+def test_we_load_kenlm_trie_binaries(tmp_path, args, atol):
+    """build_binary trie-family output read by our C++ kernel — validates
+    the bit-packed/bhiksha/quantized readers against the real writer
+    (our own trie writer is additionally cross-checked by
+    test_kenlm_loads_our_trie below)."""
+    bb = shutil.which("build_binary")
+    if bb is None:
+        pytest.skip("kenlm build_binary not on PATH")
+    for text, name, sents in CASES:
+        p = tmp_path / f"{name}.arpa"
+        p.write_text(text, encoding="utf-8")
+        klm = tmp_path / f"{name}_trie.klm"
+        subprocess.run([bb, *args, "trie", str(p), str(klm)], check=True,
+                       capture_output=True)
+        ours_bin = ngram.NgramLM(str(klm))
+        assert ours_bin.model_type in (2, 3, 4, 5)
+        theirs = kenlm.LanguageModel(str(p))
+        for s in sents:
+            for bos in (True, False):
+                assert ours_bin.score(s, bos=bos, eos=True) == pytest.approx(
+                    theirs.score(s, bos=bos, eos=True), abs=atol), (s, bos)
+
+
+@pytest.mark.parametrize("layout", ["trie", "quant_trie", "array_trie",
+                                    "quant_array_trie"])
+def test_kenlm_loads_our_trie(tmp_path, layout):
+    """Real kenlm mmaps the trie-family .klm files our writer produces."""
+    for text, name, sents in CASES:
+        p = tmp_path / f"{name}.arpa"
+        p.write_text(text, encoding="utf-8")
+        ours = ngram.NgramLM(str(p))
+        klm = tmp_path / f"{name}_{layout}.klm"
+        ours.write_binary(str(klm), layout=layout)
+        theirs = kenlm.Model(str(klm))
+        for s in sents:
+            assert theirs.score(s, bos=True, eos=True) == pytest.approx(
+                ours.score(s, bos=True, eos=True), abs=5e-2
+                if "quant" in layout else 1e-4), (s, layout)
