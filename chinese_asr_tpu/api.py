@@ -65,7 +65,11 @@ class ASR:
         "adpcm" codes 4-bit block-adaptive ADPCM (quarter the bytes;
         ~28 dB SNR on speech-like signals, decoded on device by a
         blockwise lax.scan — see features.adpcm_decode_flat); "padded"
-        is the legacy zero-padded [B, N] matrix.
+        is the legacy zero-padded [B, N] matrix.  Lossy-wire SNR and
+        transcript-parity figures come from SYNTHETIC audio and
+        overfit/random-weight models (tests/test_wire.py) — no real
+        speech corpus exists in this environment, so validate mulaw/adpcm
+        on your own data before trusting them in production.
 
         ``mesh`` (a ``jax.sharding.Mesh`` from ``parallel.sharding
         .make_mesh``, or the string "auto" for all local devices) serves
