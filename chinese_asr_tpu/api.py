@@ -55,6 +55,7 @@ class ASR:
                  wav_bucket: int = 16000,
                  compute_dtype: str = "float32",
                  wire: str = "flat",
+                 flat_pow2: bool = False,
                  mesh=None):
         """``wire`` picks the host->device wav upload format (the offline
         batch path is upload-bound through the device tunnel, PERF.md):
@@ -82,6 +83,7 @@ class ASR:
         self.bw = bw
         self.wav_bucket = wav_bucket
         self.wire = wire
+        self.flat_pow2 = flat_pow2
         self.compute_dtype = jnp.dtype(compute_dtype)
         # LM only loads for beam widths > 1 (main.py:78-84)
         self.lm = ngram.load_lm(lm_path) if (lm_path and bw and bw > 1) else None
@@ -209,8 +211,21 @@ class ASR:
         assert total < 2 ** 31, \
             f"flat wire: {total} samples overflow int32 offsets; lower " \
             f"max_batch"
-        # flat length bucketed so the jitted unpack program is reused
-        Ltot = round_up(max(1, total), 8 * self.wav_bucket)
+        # flat length bucketed so the jitted unpack program is reused.
+        # linear (default): multiples of 8*wav_bucket — tight wire, right
+        # for upload-bound offline batches whose Ltot repeats per chunk.
+        # pow2 (serving): next power-of-2 multiple of wav_bucket — at most
+        # 2x wire padding but log-many compiled shapes, so a micro-batcher
+        # seeing arbitrary traffic mixes stops hitting fresh Ltot buckets
+        # (serve.MicroBatcher pairs this with its power-of-2 batch ladder).
+        Ltot = max(1, total)
+        if self.flat_pow2:
+            b = self.wav_bucket
+            while b < Ltot:
+                b *= 2
+            Ltot = b
+        else:
+            Ltot = round_up(Ltot, 8 * self.wav_bucket)
         all_i16 = all(w.dtype == np.int16 for w in wavs)
         if all_i16 and self.wire == "adpcm":
             Ltot = round_up(Ltot, F.ADPCM_K)

@@ -64,7 +64,7 @@ def _make_step(cfg: Config, topn: int, use_pallas: bool, variant=None):
 
 def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
                          lm, vocab, topn: int = 20,
-                         incremental: bool = None):
+                         incremental: bool = None, profile: dict = None):
     """Returns (n-best token lists per sample, scores per sample).
 
     ``incremental`` (default: auto when the C++ LM backend is loaded) keeps
@@ -72,7 +72,26 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     with the batched base-score kernel — O(1) LM work per (beam, candidate)
     instead of rescoring the whole prefix string every step.  Totals are
     identical: score(prefix + w) == cum(prefix) + base(state(prefix), w).
+
+    ``profile`` (optional dict) accumulates wall seconds per loop stage
+    (keys like "pull_top", "lm_score", "select", "reorder_dispatch",
+    "harvest", "lm_advance", plus "steps") — the stage split behind
+    PERF.md's first-pass-LM numbers (tools/lm_first_pass_bench.py).
     """
+    import time as _time
+
+    if profile is None:
+        def _tic():
+            return 0.0
+
+        def _toc(key, t0):
+            pass
+    else:
+        def _tic():
+            return _time.perf_counter()
+
+        def _toc(key, t0):
+            profile[key] = profile.get(key, 0.0) + _time.perf_counter() - t0
     if incremental is None:
         incremental = bool(getattr(lm, "has_batch_states", False))
     B = feats.shape[0]
@@ -82,6 +101,7 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     eos, sos = cfg.vocab.eos, cfg.vocab.sos
     cand = 2 * k
 
+    t0 = _tic()
     eb = las.encode(params, cfg, feats, feat_lens)
     step = _make_step(cfg, topn, pallas_topk.use_pallas_topk(),
                       (pallas_topk.use_grouped_topk(),
@@ -131,9 +151,15 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     # host does step l's finished-harvest bookkeeping and n-gram state
     # advance — the device computes the next step while the host loops
     out = dispatch(tokens, cell, attn_hidden)
+    _toc("encode_prologue", t0)
     for l in range(max_len):
+        if profile is not None:
+            profile["steps"] = profile.get("steps", 0) + 1
+        t0 = _tic()
         top_tokens = np.asarray(out.top_tokens)          # [B*k, n]
+        _toc("pull_top", t0)
 
+        t0 = _tic()
         if incremental:
             # one batched base-score call over all (beam, candidate) pairs
             rep_states = np.repeat(states, topn, axis=0)
@@ -151,7 +177,9 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
             lm_scores = np.asarray(
                 lm.score_batch(sents, bos=False, eos=False)
             ).reshape(B * k, topn)
+        _toc("lm_score", t0)
 
+        t0 = _tic()
         # candidate selection over the POOL of real proposals (k*topn per
         # sample), not a dense [B, k*V] matrix — the dense fill (~80 MB)
         # plus a full 1.3M-element argsort per step was the actual
@@ -200,8 +228,10 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         tok2[dead] = cfg.vocab.unk                       # like the old loop
         sel = sel2.reshape(-1).astype(np.int32)
         new_tokens = tok2.reshape(-1).astype(np.int32)
+        _toc("select", t0)
 
         last = l + 1 >= max_len
+        t0 = _tic()
         hist_prev = hist                                 # harvest reads l's
         hist = [hist[s] + [int(new_tokens[i])] for i, s in enumerate(sel)]
         sel_d = jnp.asarray(sel)
@@ -210,7 +240,9 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         attn_hidden = out.attn_hidden[sel_d]
         if not last:
             out = dispatch(new_tokens, cell, attn_hidden)  # device busy...
+        _toc("reorder_dispatch", t0)
 
+        t0 = _tic()
         # ---- ...while the host harvests finished top-k candidates ------
         for b in range(B):
             for j in range(min(k, ncand)):
@@ -218,10 +250,12 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
                     src = b * k + int(cand_beams[b, j])
                     finished[b].append((list(hist_prev[src]),
                                         float(cand_scores[b, j])))
+        _toc("harvest", t0)
         if all(len(f) > 0 for f in finished):
             break                    # the in-flight extra step is discarded
 
         if incremental:
+            t0 = _tic()
             # reorder contexts to the surviving beams, fold in the chosen
             # word's score, and advance the n-gram states in place
             states = np.ascontiguousarray(states[sel])
@@ -230,6 +264,7 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
             cum = cum[sel] + lm.base_score_batch_np(states, state_lens,
                                                     chosen)
             lm.advance_batch_np(states, state_lens, chosen)
+            _toc("lm_advance", t0)
 
     results = []
     for b in range(B):

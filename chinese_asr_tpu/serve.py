@@ -88,15 +88,45 @@ class MicroBatcher:
     multiplies throughput by the batch factor (PERF.md: 30 -> 1125
     utts/s/chip between B=1 and B=128)."""
 
-    def __init__(self, asr, max_batch: int = 128, window_ms: float = 15.0):
+    def __init__(self, asr, max_batch: int = 128, window_ms: float = 15.0,
+                 pad_batches: bool = True):
         self.asr = asr
         self.max_batch = max_batch
         self.window = window_ms / 1e3
+        # Collected batches vary in size request-by-request, and every new
+        # batch size is a new jit shape (30-90 s of XLA compile on the
+        # TPU).  Padding each batch up to the next power of two bounds the
+        # compiled variants at log2(max_batch)+1 — the standard serving
+        # batch ladder — for at most 2x padded device work per decode.
+        self.pad_batches = pad_batches
         self.batches = 0            # decode calls issued (stats/tests)
         self.requests = 0
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _ladder(self, n: int) -> int:
+        if not self.pad_batches:
+            return n
+        size = 1
+        while size < n:
+            size *= 2
+        return min(size, self.max_batch)
+
+    def warm(self, wav: np.ndarray, scale: float = 1.0) -> int:
+        """Pre-compile every ladder batch size for ``wav``'s length bucket
+        (cold-start control: first requests otherwise pay the compiles).
+        Returns the number of decode calls issued."""
+        sizes, n = [], 1
+        while True:
+            sizes.append(self._ladder(n))
+            if sizes[-1] >= self.max_batch or not self.pad_batches:
+                break
+            n = sizes[-1] + 1
+        for size in sizes:
+            self.asr.transcribe_wavs([wav] * size, max_batch=self.max_batch,
+                                     scales=[scale] * size)
+        return len(sizes)
 
     def submit(self, wav: np.ndarray, scale: float,
                timeout: Optional[float] = None) -> str:
@@ -125,9 +155,19 @@ class MicroBatcher:
             self.batches += 1
             self.requests += len(batch)
             try:
+                wavs = [b[0] for b in batch]
+                scales = [b[1] for b in batch]
+                pad = self._ladder(len(batch)) - len(batch)
+                if pad:
+                    # dummies keep the batch dtype: an int16 dummy in a
+                    # float batch (or vice versa) would silently flip the
+                    # wire format (api._prep_flat keys on all-int16)
+                    dt = np.asarray(wavs[0]).dtype
+                    dt = np.int16 if np.issubdtype(dt, np.integer) else dt
+                    wavs += [np.zeros(1, dt)] * pad
+                    scales += [1.0] * pad
                 texts = self.asr.transcribe_wavs(
-                    [b[0] for b in batch], max_batch=self.max_batch,
-                    scales=[b[1] for b in batch])
+                    wavs, max_batch=self.max_batch, scales=scales)
                 for (_, _, ev, box), text in zip(batch, texts):
                     box["text"] = text
                     ev.set()

@@ -57,3 +57,26 @@ sys.path.insert(0, _ROOT)
 from chinese_asr_tpu.utils import compile_cache
 
 compile_cache.configure(_ROOT, cpu=True, min_compile_secs=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Opt-out fixture for programs whose XLA:CPU AOT (de)serialization is
+# poisonous.  Round 4 found a reproducible (4/4 full-suite runs, two
+# distinct cache states) SIGSEGV inside backend.deserialize_executable /
+# executable.serialize() for ONE program — the small-config
+# beam_decode_best_jit compiled by the wire transcript-parity tests —
+# and only in late-suite process state (the same entry reads/writes fine
+# in isolation).  Disabling the persistent cache around those tests'
+# compiles avoids both paths; everything else keeps the warm cache.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def no_persistent_compile_cache():
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old)

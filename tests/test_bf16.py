@@ -31,20 +31,29 @@ from test_train import SMALL, make_batch
 @pytest.fixture(scope="module")
 def overfit():
     """Train the tiny model until it emits short eos-terminated strings
-    (the regime trained weights put decoding in)."""
+    (the regime trained weights put decoding in); params are disk-cached
+    across runs (fixture_cache)."""
     import functools
+
+    from fixture_cache import cached_overfit
+
     cfg = SMALL
-    params = las.init_params(jax.random.PRNGKey(0), cfg)
-    tx = optim.make_optimizer(cfg.train)
-    opt = tx.init(params)
     batch = make_batch(cfg, B=4)
-    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
-    for i in range(250):
-        params, opt, m = step(params, opt, batch=batch,
-                              rng=jax.random.PRNGKey(i))
-    assert float(m["accuracy"]) > 0.95, "overfit fixture did not converge"
-    feats, lens = batch.feats, batch.feat_lens
-    return cfg, params, feats, lens
+
+    def train():
+        params = las.init_params(jax.random.PRNGKey(0), cfg)
+        tx = optim.make_optimizer(cfg.train)
+        opt = tx.init(params)
+        step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
+        m = {}
+        for i in range(250):
+            params, opt, m = step(params, opt, batch=batch,
+                                  rng=jax.random.PRNGKey(i))
+        assert float(m["accuracy"]) > 0.95, "overfit fixture did not converge"
+        return params
+
+    params = cached_overfit("bf16_overfit_v1", cfg, train)
+    return cfg, params, batch.feats, batch.feat_lens
 
 
 def _cast(params, dtype):

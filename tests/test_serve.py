@@ -135,3 +135,35 @@ def test_microbatcher_direct():
         t.join(timeout=120)
     assert out == expect
     assert mb.batches < len(wavs)
+
+
+def test_microbatcher_batch_ladder():
+    """Collected batches pad to the next power of two (bounded compile
+    shapes) without changing any transcript, and warm() pre-compiles
+    every ladder size."""
+    from chinese_asr_tpu.serve import MicroBatcher
+    cfg = _small_cfg()
+    asr = ASR(cfg=cfg, bw=2, vocab=_identity_vocab(cfg.vocab.vocab_size),
+              wav_bucket=1600)
+    mb = MicroBatcher(asr, max_batch=8, window_ms=50.0)
+    assert [mb._ladder(n) for n in (1, 2, 3, 4, 5, 7, 8)] == \
+        [1, 2, 4, 4, 8, 8, 8]
+    rng = np.random.RandomState(3)
+    wav = (rng.randn(4000) * 6000).astype(np.int16)
+    assert mb.warm(wav) == 4                    # sizes 1, 2, 4, 8
+    # a 3-request burst rides one padded batch and matches direct decode
+    wavs = [(rng.randn(4000 + 200 * i) * 6000).astype(np.int16)
+            for i in range(3)]
+    expect = asr.transcribe_wavs(list(wavs), scales=[1.0] * 3)
+    out = [None] * 3
+    threads = [threading.Thread(
+        target=lambda i=i: out.__setitem__(i, mb.submit(wavs[i], 1.0)))
+        for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert out == expect
+    # unpadded mode keeps exact batch sizes
+    mb2 = MicroBatcher(asr, max_batch=8, window_ms=50.0, pad_batches=False)
+    assert mb2._ladder(5) == 5

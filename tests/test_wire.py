@@ -20,6 +20,17 @@ from chinese_asr_tpu.config import Config
 from test_train import SMALL
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_for_wire_tests(no_persistent_compile_cache):
+    """Round 4: this module's small-config beam programs reproducibly
+    (4/4 full-suite runs) SIGSEGV inside XLA:CPU AOT executable
+    (de)serialization — in full-suite process state only; the same
+    entries read and write fine in isolation.  Compile fresh instead of
+    touching the persistent cache (see conftest.py); the expensive part
+    of these tests, overfit training, is disk-cached via fixture_cache."""
+    yield
+
+
 def _wavs(rng, n, secs=(0.4, 0.7, 0.3, 0.55)):
     out = []
     for i in range(n):
@@ -90,46 +101,74 @@ def test_flat_wire_transcripts_bit_identical_to_padded():
         assert t_pad == t_flat
 
 
+def _overfit_on_wavs(recipe: str, seed: int, key: int):
+    """Overfit the tiny model on 10 test wavs' exact features (cached on
+    disk across runs — fixture_cache); returns (wavs, params, S)."""
+    import functools
+
+    from fixture_cache import cached_overfit
+    from chinese_asr_tpu.models import las
+    from chinese_asr_tpu.train import optim
+    from chinese_asr_tpu.train.step import Batch, train_step
+
+    cfg = SMALL
+    rng = np.random.RandomState(seed)
+    ws = _wavs(rng, 10)
+    S = 5
+
+    def train():
+        lens = np.array([len(w) for w in ws], np.int32)
+        mat = np.zeros((10, int(lens.max())), np.int16)
+        for i, w in enumerate(ws):
+            mat[i, : len(w)] = w
+        feats, flens = F.featurize_batch(jnp.asarray(mat),
+                                         jnp.asarray(lens),
+                                         cfg.audio, norm_eps=1e-6)
+        text = np.tile(np.arange(4, 4 + S - 1)[None, :],
+                       (10, 1)).astype(np.int32)
+        batch = Batch(
+            feats, flens,
+            jnp.asarray(np.concatenate(
+                [np.full((10, 1), cfg.vocab.sos), text], 1).astype(np.int32)),
+            jnp.asarray(np.concatenate(
+                [text, np.full((10, 1), cfg.vocab.eos)], 1).astype(np.int32)),
+            jnp.asarray(np.full(10, S, np.int32)))
+        params = las.init_params(jax.random.PRNGKey(key), cfg)
+        tx = optim.make_optimizer(cfg.train)
+        opt = tx.init(params)
+        step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
+        m = {}
+        for i in range(300):
+            params, opt, m = step(params, opt, batch=batch,
+                                  rng=jax.random.PRNGKey(i))
+        assert float(m["accuracy"]) > 0.99
+        return params
+
+    return ws, cached_overfit(recipe, cfg, train), S
+
+
+def test_flat_pow2_bucketing_transcripts_bit_identical():
+    """The serving-oriented pow2 Ltot bucketing (ASR(flat_pow2=True))
+    only pads the wire tail — transcripts match the linear bucketing
+    bit-for-bit across wire formats."""
+    rng = np.random.RandomState(12)
+    ws = _wavs(rng, 6)
+    for wire in ("flat", "mulaw", "adpcm"):
+        a_lin = _asr(wire)
+        a_p2 = ASR(cfg=SMALL, bw=4, wire=wire, flat_pow2=True,
+                   vocab=_identity_vocab(SMALL.vocab.vocab_size),
+                   wav_bucket=1600)
+        a_p2.params = a_lin.params
+        assert a_p2.transcribe_wavs(ws) == a_lin.transcribe_wavs(ws), wire
+
+
 def test_mulaw_wire_transcript_parity_on_overfit_model():
     """The lossy wire must not change a single transcript on a model that
     is CONFIDENT on its inputs (the production regime; an untrained model
     on out-of-distribution noise has razor-thin decode margins no wire
     format is expected to preserve).  The model is overfit on the exact
     test wavs' features, then both wires transcribe those wavs."""
-    import functools
-    from chinese_asr_tpu.models import las
-    from chinese_asr_tpu.train import optim
-    from chinese_asr_tpu.train.step import Batch, train_step
-
-    cfg = SMALL
-    rng = np.random.RandomState(4)
-    ws = _wavs(rng, 10)
-    lens = np.array([len(w) for w in ws], np.int32)
-    N = int(lens.max())
-    mat = np.zeros((10, N), np.int16)
-    for i, w in enumerate(ws):
-        mat[i, : len(w)] = w
-    feats, flens = F.featurize_batch(jnp.asarray(mat), jnp.asarray(lens),
-                                     cfg.audio, norm_eps=1e-6)
-    S = 5
-    text = np.tile(np.arange(4, 4 + S - 1)[None, :], (10, 1)).astype(np.int32)
-    batch = Batch(
-        feats, flens,
-        jnp.asarray(np.concatenate(
-            [np.full((10, 1), cfg.vocab.sos), text], 1).astype(np.int32)),
-        jnp.asarray(np.concatenate(
-            [text, np.full((10, 1), cfg.vocab.eos)], 1).astype(np.int32)),
-        jnp.asarray(np.full(10, S, np.int32)))
-
-    params = las.init_params(jax.random.PRNGKey(0), cfg)
-    tx = optim.make_optimizer(cfg.train)
-    opt = tx.init(params)
-    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
-    for i in range(300):
-        params, opt, m = step(params, opt, batch=batch,
-                              rng=jax.random.PRNGKey(i))
-    assert float(m["accuracy"]) > 0.99
-
+    ws, params, S = _overfit_on_wavs("wire_mulaw_v1", seed=4, key=0)
     a16 = _asr("flat")
     a8 = _asr("mulaw")
     a16.params = a8.params = params
@@ -278,40 +317,7 @@ def test_adpcm_roundtrip_snr():
 def test_adpcm_wire_transcript_parity_on_overfit_model():
     """Same campaign as the mu-law wire: on a model confident on its
     inputs, the 4-bit wire must not flip a transcript."""
-    import functools
-    from chinese_asr_tpu.models import las
-    from chinese_asr_tpu.train import optim
-    from chinese_asr_tpu.train.step import Batch, train_step
-
-    cfg = SMALL
-    rng = np.random.RandomState(9)
-    ws = _wavs(rng, 10)
-    lens = np.array([len(w) for w in ws], np.int32)
-    N = int(lens.max())
-    mat = np.zeros((10, N), np.int16)
-    for i, w in enumerate(ws):
-        mat[i, : len(w)] = w
-    feats, flens = F.featurize_batch(jnp.asarray(mat), jnp.asarray(lens),
-                                     cfg.audio, norm_eps=1e-6)
-    S = 5
-    text = np.tile(np.arange(4, 4 + S - 1)[None, :], (10, 1)).astype(np.int32)
-    batch = Batch(
-        feats, flens,
-        jnp.asarray(np.concatenate(
-            [np.full((10, 1), cfg.vocab.sos), text], 1).astype(np.int32)),
-        jnp.asarray(np.concatenate(
-            [text, np.full((10, 1), cfg.vocab.eos)], 1).astype(np.int32)),
-        jnp.asarray(np.full(10, S, np.int32)))
-
-    params = las.init_params(jax.random.PRNGKey(1), cfg)
-    tx = optim.make_optimizer(cfg.train)
-    opt = tx.init(params)
-    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
-    for i in range(300):
-        params, opt, m = step(params, opt, batch=batch,
-                              rng=jax.random.PRNGKey(i))
-    assert float(m["accuracy"]) > 0.99
-
+    ws, params, S = _overfit_on_wavs("wire_adpcm_v1", seed=9, key=1)
     a16 = _asr("flat")
     a4 = _asr("adpcm")
     a16.params = a4.params = params
