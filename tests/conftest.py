@@ -74,9 +74,17 @@ import pytest  # noqa: E402
 
 @pytest.fixture
 def no_persistent_compile_cache():
-    old = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
+    # NOTE: jax 0.9's `jax_enable_compilation_cache` is consulted through
+    # a process-lifetime latch (compilation_cache.is_cache_used) and
+    # _cache_write never re-checks it, so flipping it mid-process is a
+    # no-op (verified: a full-suite run still wrote entries under the
+    # flipped flag).  The min-compile-time threshold IS read live on
+    # every write, so raise it beyond reach; with no entries ever written
+    # for these programs, reads always miss and the crashing
+    # deserialize_executable path is never reached either.
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     try:
         yield
     finally:
-        jax.config.update("jax_enable_compilation_cache", old)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
