@@ -210,32 +210,54 @@ def make_eval_loader(manifest_path: str, cfg: Config, vocab: Vocab) -> Loader:
 def prefetch(iterator, size: int = 2):
     """Background-thread prefetch: host wav reading / collation overlaps
     device compute (the role of the reference's DataLoader workers,
-    data.py:467-474, without multiprocess overhead on a 1-core host)."""
+    data.py:467-474, without multiprocess overhead on a 1-core host).
+
+    The worker must not outlive its consumer: an abandoned generator
+    (e.g. a trainer stopping at max_steps mid-epoch) previously left the
+    thread blocked in ``q.put`` forever, holding the source iterator
+    alive — the stop event + timed puts below end it within ~100 ms."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     END = object()
+    stop = threading.Event()
     err = []
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:                        # propagate to consumer
             err.append(e)
         finally:
-            q.put(END)
+            while True:               # consumer needs END even when the
+                try:                  # queue is full of undrained items
+                    q.put(END, timeout=0.1)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break         # consumer gone; nobody waits
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()                    # consumer closed/abandoned early
 
 
 def batches_to_device(loader: Loader, cfg: Config):

@@ -77,6 +77,9 @@ def decode_request_audio(asr, data: bytes, suffix: str = ""
             os.unlink(tmp)
 
 
+_STOP = object()         # MicroBatcher.stop sentinel
+
+
 class MicroBatcher:
     """Coalesce concurrent transcription requests into batched decodes.
 
@@ -140,18 +143,33 @@ class MicroBatcher:
             raise box["err"]
         return box["text"]
 
+    def stop(self) -> None:
+        """Stop the worker thread (used by tests/embedders; the thread is
+        a daemon, but a stopped batcher doesn't linger in long-lived
+        processes that create many of them)."""
+        self._q.put(_STOP)
+        self._thread.join(timeout=30)
+
     def _loop(self) -> None:
         while True:
-            batch = [self._q.get()]
+            first = self._q.get()
+            if first is _STOP:
+                return
+            batch = [first]
             deadline = time.monotonic() + self.window
+            stopping = False
             while len(batch) < self.max_batch:
                 left = deadline - time.monotonic()
                 if left <= 0:
                     break
                 try:
-                    batch.append(self._q.get(timeout=left))
+                    item = self._q.get(timeout=left)
                 except queue.Empty:
                     break
+                if item is _STOP:
+                    stopping = True      # finish this batch, then exit
+                    break
+                batch.append(item)
             self.batches += 1
             self.requests += len(batch)
             try:
@@ -175,6 +193,8 @@ class MicroBatcher:
                 for _, _, ev, box in batch:
                     box["err"] = e
                     ev.set()
+            if stopping:
+                return
 
 
 def _make_handler(asr, batcher: MicroBatcher):
@@ -235,6 +255,12 @@ def serve_http(asr, port: int = 8000, host: str = "127.0.0.1",
     ``server_port`` on the returned server reports the bound port (pass
     port=0 for an ephemeral one, as the tests do)."""
     batcher = MicroBatcher(asr, max_batch=max_batch, window_ms=window_ms)
-    server = ThreadingHTTPServer((host, port), _make_handler(asr, batcher))
+
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):  # stop the batcher thread with the server
+            super().server_close()
+            batcher.stop()
+
+    server = _Server((host, port), _make_handler(asr, batcher))
     server.batcher = batcher  # type: ignore[attr-defined] — introspection
     return server

@@ -329,6 +329,29 @@ def test_prefetch_order_and_errors():
         list(it)
 
 
+def test_prefetch_worker_exits_when_consumer_abandons():
+    """An abandoned prefetch generator (trainer stopping at max_steps
+    mid-epoch) must not leave its worker thread blocked in q.put forever
+    holding the source iterator (round-4 leak: every full-suite crash
+    dump showed one of these parked threads)."""
+    import threading
+    import time as _time
+    from chinese_asr_tpu.data.dataset import prefetch
+
+    before = {t.ident for t in threading.enumerate()}
+    it = prefetch(iter(range(1000)), size=2)
+    assert next(it) == 0                       # worker running, queue full
+    it.close()                                 # consumer abandons
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        _time.sleep(0.05)
+    assert not extra, f"leaked prefetch worker threads: {extra}"
+
+
 def test_transcribe_chunking_sorts_by_length(corpus):
     """Chunked transcription length-sorts internally but returns results in
     input order, identical to the unchunked call."""

@@ -46,6 +46,8 @@ def server():
     t.start()
     yield srv, asr
     srv.shutdown()
+    srv.server_close()                       # also stops the batcher thread
+    assert not srv.batcher._thread.is_alive()
 
 
 def _post(port: int, data: bytes, path: str = "/transcribe"):
@@ -135,6 +137,8 @@ def test_microbatcher_direct():
         t.join(timeout=120)
     assert out == expect
     assert mb.batches < len(wavs)
+    mb.stop()
+    assert not mb._thread.is_alive()         # no leaked worker threads
 
 
 def test_microbatcher_batch_ladder():
@@ -164,6 +168,8 @@ def test_microbatcher_batch_ladder():
     for t in threads:
         t.join(timeout=120)
     assert out == expect
+    mb.stop()
     # unpadded mode keeps exact batch sizes
     mb2 = MicroBatcher(asr, max_batch=8, window_ms=50.0, pad_batches=False)
     assert mb2._ladder(5) == 5
+    mb2.stop()

@@ -20,17 +20,6 @@ from chinese_asr_tpu.config import Config
 from test_train import SMALL
 
 
-@pytest.fixture(autouse=True)
-def _no_persistent_cache_for_wire_tests(no_persistent_compile_cache):
-    """Round 4: this module's small-config beam programs reproducibly
-    (4/4 full-suite runs) SIGSEGV inside XLA:CPU AOT executable
-    (de)serialization — in full-suite process state only; the same
-    entries read and write fine in isolation.  Compile fresh instead of
-    touching the persistent cache (see conftest.py); the expensive part
-    of these tests, overfit training, is disk-cached via fixture_cache."""
-    yield
-
-
 def _wavs(rng, n, secs=(0.4, 0.7, 0.3, 0.55)):
     out = []
     for i in range(n):
