@@ -9,7 +9,9 @@ pays per batch.
 Configs (BASELINE.md "configs to benchmark"):
   1. single-utterance greedy
   2. single-utterance beam bw=4
-  3. batched beam bw=16 (B=128, the v5e throughput knee) — reported both
+  3. batched beam bw=16 (B=128, the measured v5e throughput knee —
+     tools/batch_sweep.py, PERF.md "Batch-size sweep": 2913 utts/s at
+     B=128 vs 2282/2446 at B=64/256) — reported both
      serialized (per-batch latency) and SUSTAINED (batch i+1 dispatched
      before batch i's host finalization blocks, the dispatch-ahead order
      api.transcribe_wavs runs at; sustained is the HEADLINE)

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(xgf_ref, xgb_ref, mf_ref, mb_ref, whh_ref,
             ysf_ref, ysb_ref, hT_ref, cT_ref, h_scr, c_scr,
             *, steps: int, chunk: int):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -83,7 +83,7 @@ def _kernel(xgf_ref, xgb_ref, mf_ref, mb_ref, whh_ref,
 
 
 def bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh, chunk: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, btile: int = 0):
     """xg_f/xg_b [T, B, 4H] f32 (backward direction already time-flipped),
     m_f/m_b [T, B] f32, w_hh [2, H, 4H] ->
     (ys_f [T, B, H], ys_b [T, B, H] — ys_b in the FLIPPED time order it
@@ -93,9 +93,24 @@ def bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh, chunk: int = 0,
     pipeline overhead); T is zero-padded up to a chunk multiple — masked
     padded steps leave the carry untouched and their outputs are sliced
     off.  Measured on v5e: chunk 2 vs 4 within noise, >=6 exhausts VMEM
-    at the flagship shape (tools/lstm_chunk_ab.py)."""
+    at the flagship shape (tools/lstm_chunk_ab.py).
+
+    The batch dim is tiled onto the OUTER grid axis in slabs of <=128
+    (``CHINESE_ASR_LSTM_BTILE`` overrides): per-program VMEM is bounded
+    by the tile, not B, so large serving batches compile (B=256/512
+    previously overflowed the 16 MB scoped-VMEM stack — the r4 batch
+    sweep's failed rows).  Each tile runs its full time loop before the
+    next starts (time is the minor grid axis), so the carry scratch is
+    reset at t==0 per tile and flushed at t==steps-1 per tile."""
     T, B, H4 = xg_f.shape
     H = H4 // 4
+    if btile <= 0:
+        btile = int(os.environ.get("CHINESE_ASR_LSTM_BTILE", "0") or 0)
+    if btile <= 0 or B % btile:
+        btile = B
+        while btile > 128 and btile % 2 == 0:
+            btile //= 2
+    nb = B // btile
     if chunk <= 0:
         env = os.environ.get("CHINESE_ASR_LSTM_CHUNK")
         if env:
@@ -105,7 +120,7 @@ def bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh, chunk: int = 0,
             # 2x2 slabs + weights + out chunks + carries within 16 MB
             # (chunk=4 at the flagship shape: measured marginally faster
             # than 2, and 6+ exhausts VMEM — tools/lstm_chunk_ab.py)
-            chunk = max(1, min(16, (4 << 20) // (2 * B * H4 * 4)))
+            chunk = max(1, min(16, (4 << 20) // (2 * btile * H4 * 4)))
     Tp = ((T + chunk - 1) // chunk) * chunk
     if Tp != T:
         pad = ((0, Tp - T), (0, 0), (0, 0))
@@ -116,19 +131,19 @@ def bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh, chunk: int = 0,
     steps = Tp // chunk
     kernel = functools.partial(_kernel, steps=steps, chunk=chunk)
     flops = Tp * (2 * B * H * H4 * 2 + 10 * 2 * B * H4)
-    xg_spec = pl.BlockSpec((chunk, B, H4), lambda t: (t, 0, 0),
+    xg_spec = pl.BlockSpec((chunk, btile, H4), lambda b, t: (t, b, 0),
                            memory_space=pltpu.VMEM)
-    m_spec = pl.BlockSpec((chunk, B, 1), lambda t: (t, 0, 0),
+    m_spec = pl.BlockSpec((chunk, btile, 1), lambda b, t: (t, b, 0),
                           memory_space=pltpu.VMEM)
-    ys_spec = pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0),
+    ys_spec = pl.BlockSpec((chunk, btile, H), lambda b, t: (t, b, 0),
                            memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((2, B, H), lambda t: (0, 0, 0),
+    st_spec = pl.BlockSpec((2, btile, H), lambda b, t: (0, b, 0),
                            memory_space=pltpu.VMEM)
     ys_f, ys_b, hT, cT = pl.pallas_call(
         kernel,
-        grid=(steps,),
+        grid=(nb, steps),
         in_specs=[xg_spec, xg_spec, m_spec, m_spec,
-                  pl.BlockSpec((2, H, H4), lambda t: (0, 0, 0),
+                  pl.BlockSpec((2, H, H4), lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[ys_spec, ys_spec, st_spec, st_spec],
         out_shape=[
@@ -138,8 +153,8 @@ def bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh, chunk: int = 0,
             jax.ShapeDtypeStruct((2, B, H), xg_f.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, B, H), jnp.float32),
-            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, btile, H), jnp.float32),
+            pltpu.VMEM((2, btile, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -84,6 +84,30 @@ def test_kernel_chunk_padding_matches():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_kernel_batch_tiling_matches():
+    """Batch tiles ride the outer grid axis (large serving batches used to
+    overflow the 16 MB scoped-VMEM stack at compile time); per-row math is
+    independent, so nb>1 must be bit-identical to the single-tile kernel,
+    including a tile count that exercises carry reset/flush per tile."""
+    rng = np.random.RandomState(3)
+    B, T, D, H = 6, 9, 5, 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    p_f = rnn_ops.init_rnn_layer(k1, "LSTM", D, H)
+    p_b = rnn_ops.init_rnn_layer(k2, "LSTM", D, H)
+    x = rng.randn(B, T, D).astype(np.float32)
+    from chinese_asr_tpu.ops.masks import length_mask
+    lens = np.array([9, 7, 5, 9, 2, 6], np.int32)
+    mask = length_mask(jnp.asarray(lens), T)
+    xg_f, xg_b, m_f, m_b, w_hh = _prep(p_f, p_b, x, mask)
+    ref = pallas_lstm.bidir_lstm_time_loop(xg_f, xg_b, m_f, m_b, w_hh,
+                                           chunk=2, interpret=True, btile=B)
+    for bt in (1, 2, 3):
+        got = pallas_lstm.bidir_lstm_time_loop(
+            xg_f, xg_b, m_f, m_b, w_hh, chunk=2, interpret=True, btile=bt)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_custom_vjp_grad_matches_scan(monkeypatch):
     """Training differentiates through the encoder: the pallas core's
     custom_vjp (scan-recompute backward) must produce the scan path's
