@@ -51,23 +51,26 @@ import sys
 sys.path.insert(0, _ROOT)
 
 # NO persistent compilation cache in the suite process — deliberately.
-# Round 4 hit a reproducible (6/6 full-suite runs, three cache states,
-# three different tests) SIGSEGV inside XLA:CPU AOT executable
-# (de)serialization — backend.deserialize_executable on cache hits,
-# executable.serialize() on cache writes — that only manifests in
-# late-suite process state (~250+ tests in; the same entries read/write
-# fine in isolation, the first-party C++ kernels are ASan-clean, and a
-# torch-then-serialize probe survives, so this is an XLA-internal bug we
-# cannot patch).  Per-test opt-outs don't converge (the crash just moves
-# to the next file to compile late), and jax 0.9 offers no reliable
-# mid-process off-switch (is_cache_used is a process-lifetime latch;
-# _cache_write never re-checks the enable flag).  The only guaranteed fix
-# is to never initialize the cache here: without a configured cache dir,
-# no serialize/deserialize ever runs.  Tools, bench.py, and the driver
-# entry points still use the persistent cache (separate, shorter-lived
-# processes — chinese_asr_tpu/utils/compile_cache.py).  Cost: the suite
-# recompiles everything, every run; expensive *training* fixtures are
-# disk-cached at a higher level instead (tests/fixture_cache.py).
+# Round 4 hit a reproducible (7/7 full single-process suite runs)
+# SIGSEGV in late-suite process state (~250+ compilations in): with the
+# cache configured, inside XLA:CPU AOT executable (de)serialization
+# (backend.deserialize_executable on hits, executable.serialize() on
+# writes); with the cache fully disabled AND an unlimited stack, inside
+# plain backend_compile_and_load.  So the root trigger is XLA:CPU
+# compilation itself after many compiles in one process — an
+# XLA-internal bug we cannot patch (the same entries compile/read/write
+# fine in isolation, the first-party C++ kernels are ASan-clean, a
+# torch-then-serialize probe survives).  Containment is two-fold:
+# pyproject.toml shards the suite across 2 xdist loadfile workers so no
+# process approaches the threshold, and this conftest never initializes
+# the persistent cache (per-test opt-outs didn't converge, and jax 0.9
+# has no reliable mid-process off-switch: is_cache_used is a
+# process-lifetime latch; _cache_write never re-checks the enable flag).
+# Tools, bench.py, and the driver entry points still use the persistent
+# cache (separate, shorter-lived processes —
+# chinese_asr_tpu/utils/compile_cache.py).  Cost: the suite recompiles
+# everything, every run; expensive *training* fixtures are disk-cached
+# at a higher level instead (tests/fixture_cache.py).
 import pytest  # noqa: E402  (kept importable for fixtures below)
 
 

@@ -43,7 +43,7 @@ def cached_overfit(recipe: str, cfg, train_fn):
             pass                     # corrupt/stale structure: retrain
     params = train_fn()
     os.makedirs(_DIR, exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = path + f".tmp{os.getpid()}"   # unique per xdist worker
     checkpoint.save_checkpoint(tmp, params)
     os.replace(tmp, path)            # atomic: no torn cache entries
     return params
