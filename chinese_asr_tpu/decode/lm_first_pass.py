@@ -36,17 +36,38 @@ class _StepOut(NamedTuple):
 
 
 @functools.lru_cache(maxsize=32)
+def _make_encode(cfg: Config):
+    """Jitted decode prologue.  greedy/beam run ``las.encode`` inside
+    their single whole-decode jit; this host-driven loop must jit it
+    separately — called eagerly it executes the encoder op-by-op, which
+    on the development tunnel measured 3.2-3.4 s/batch (65% of wall,
+    PERF.md "First-pass-LM decode: the stage split") vs ~one dispatch
+    jitted."""
+    @jax.jit
+    def enc(params, feats, feat_lens):
+        return las.encode(params, cfg, feats, feat_lens)
+    return enc
+
+
+@functools.lru_cache(maxsize=32)
 def _make_step(cfg: Config, topn: int, use_pallas: bool, variant=None):
     # use_pallas AND the extraction-variant envs join the cache key:
     # env-override flips take effect (same rule as decode/beam._jitted)
     dcfg, acfg = cfg.decoder, cfg.attention
 
     @jax.jit
-    def step(dec_params, attn_params, mask, keys, values, tokens,
+    def step(dec_params, attn_params, mask, keys, values, tokens, sel,
              cell_state, attn_hidden):
+        # survivor reorder INSIDE the jit: done eagerly on the host loop
+        # it was ~7 separate op dispatches + an extra upload per step
+        # (~10 ms/step on the development tunnel, PERF.md stage split);
+        # here it fuses into the step program and `sel` rides the same
+        # PJRT execute as `tokens`
+        cell_state = [tuple(e[sel] for e in s) if isinstance(s, tuple)
+                      else s[sel] for s in cell_state]
         out = dec_ops.decoder_step_beam(
             dec_params, attn_params, dcfg, acfg, mask, keys, values,
-            tokens, cell_state, attn_hidden)
+            tokens, cell_state, attn_hidden[sel])
         # f32 BEFORE top-k on both paths so CPU (lax.top_k) and TPU
         # (pallas) return bit-identical f32 top_logit under bf16 compute
         logit = out.logit.astype(jnp.float32) / dcfg.temperature
@@ -102,7 +123,7 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     cand = 2 * k
 
     t0 = _tic()
-    eb = las.encode(params, cfg, feats, feat_lens)
+    eb = _make_encode(cfg)(params, feats, feat_lens)
     step = _make_step(cfg, topn, pallas_topk.use_pallas_topk(),
                       (pallas_topk.use_grouped_topk(),
                        pallas_topk.use_onepass_topk()))
@@ -134,12 +155,14 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         state_lens = np.zeros(B * k, np.int32)
         cum = np.zeros(B * k, np.float64)
 
-    def dispatch(tok_np, cell_, attn_):
-        """Launch one decoder step and start the top-tokens host copy:
-        the ~25 ms device-tunnel transfer latency overlaps device work
-        instead of adding to every step (CLAUDE.md host-boundary rules)."""
+    def dispatch(tok_np, sel_np, cell_, attn_):
+        """Launch one decoder step (with the survivor reorder fused in)
+        and start the top-tokens host copy: the ~25 ms device-tunnel
+        transfer latency overlaps device work instead of adding to every
+        step (CLAUDE.md host-boundary rules)."""
         o = step(params["decoder"], params["attention"], eb.mask, eb.keys,
-                 eb.values, jnp.asarray(tok_np), cell_, attn_)
+                 eb.values, jnp.asarray(tok_np), jnp.asarray(sel_np),
+                 cell_, attn_)
         try:
             o.top_tokens.copy_to_host_async()
         except AttributeError:
@@ -150,7 +173,8 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
     # is dispatched as soon as step l's survivors are known, BEFORE the
     # host does step l's finished-harvest bookkeeping and n-gram state
     # advance — the device computes the next step while the host loops
-    out = dispatch(tokens, cell, attn_hidden)
+    sel_id = np.arange(B * k, dtype=np.int32)            # identity reorder
+    out = dispatch(tokens, sel_id, cell, attn_hidden)
     _toc("encode_prologue", t0)
     for l in range(max_len):
         if profile is not None:
@@ -234,12 +258,9 @@ def lm_first_pass_decode(params, cfg: Config, bw: int, feats, feat_lens,
         t0 = _tic()
         hist_prev = hist                                 # harvest reads l's
         hist = [hist[s] + [int(new_tokens[i])] for i, s in enumerate(sel)]
-        sel_d = jnp.asarray(sel)
-        cell = [tuple(e[sel_d] for e in s) if isinstance(s, tuple)
-                else s[sel_d] for s in out.cell_state]
-        attn_hidden = out.attn_hidden[sel_d]
         if not last:
-            out = dispatch(new_tokens, cell, attn_hidden)  # device busy...
+            # device busy: the reorder is fused into the step program
+            out = dispatch(new_tokens, sel, out.cell_state, out.attn_hidden)
         _toc("reorder_dispatch", t0)
 
         t0 = _tic()
