@@ -1,0 +1,116 @@
+"""On-device n-gram LM vs the Python oracle (and, transitively, the C++
+kernel — their agreement is pinned by test_lm.py's fuzz).
+
+The device scorer must reproduce PyNgramLM's Katz-backoff chain on the
+same structurally-randomized ARPAs the host scorers fuzz with: pruned
+holes, missing backoffs, OOV words, contexts shorter than order-1."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chinese_asr_tpu.lm import ngram
+from chinese_asr_tpu.lm.device_ngram import (DeviceNgramLM, advance_context,
+                                             score_candidates)
+from test_lm import _random_arpa
+
+
+def _mapped(py, w):
+    return py._vocab_map(w)
+
+
+def test_matches_python_oracle_on_random_pairs(tmp_path):
+    rng = np.random.RandomState(7)
+    for idx in range(6):
+        path, vocab = _random_arpa(tmp_path, rng, idx)
+        py = ngram.PyNgramLM(path)
+        dev = DeviceNgramLM.from_arpa(path)
+        M = dev.order
+        words = vocab + ["oovword", "<unk>", "</s>", "<s>"]
+        Q, C = 9, 5
+        ctx_dev = np.full((Q, max(M - 1, 1)), -1, np.int32)
+        ctx_py = []
+        for q in range(Q):
+            n_ctx = int(rng.randint(0, M))          # 0..order-1 words
+            picked = [str(rng.choice(words)) for _ in range(n_ctx)]
+            mapped = [_mapped(py, w) for w in picked]
+            ctx_py.append(tuple(mapped))
+            if n_ctx:
+                ctx_dev[q, -n_ctx:] = dev.word_ids(mapped)
+        cand_w = [[str(rng.choice(words)) for _ in range(C)]
+                  for _ in range(Q)]
+        cand_dev = np.stack([dev.word_ids([_mapped(py, w) for w in row])
+                             for row in cand_w])
+        got = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                          jnp.asarray(cand_dev)))
+        for q in range(Q):
+            for c in range(C):
+                want = py._score_one(ctx_py[q], _mapped(py, cand_w[q][c]))
+                assert got[q, c] == pytest.approx(want, abs=1e-5), (
+                    idx, ctx_py[q], cand_w[q][c])
+
+
+def test_sentence_chain_matches_python_score(tmp_path):
+    """begin-state + advance_context chain == PyNgramLM.score with
+    bos/eos, i.e. the device state window walks the same path kenlm's
+    state advance does."""
+    rng = np.random.RandomState(11)
+    for idx in range(4):
+        path, vocab = _random_arpa(tmp_path, rng, idx + 100)
+        py = ngram.PyNgramLM(path)
+        dev = DeviceNgramLM.from_arpa(path)
+        words = vocab + ["oovword", "<unk>"]
+        for bos in (True, False):
+            n = int(rng.randint(1, 7))
+            sent_w = [str(rng.choice(words)) for _ in range(n)]
+            ctx = jnp.asarray(dev.begin_context(1) if bos
+                              else dev.null_context(1))
+            total = 0.0
+            for w in sent_w + ["</s>"]:
+                wid = jnp.asarray(dev.word_ids([_mapped(py, w)])[None, :])
+                total += float(score_candidates(dev, ctx, wid)[0, 0])
+                ctx = advance_context(ctx, wid[:, 0])
+            want = py.score(" ".join(sent_w), bos=bos, eos=True)
+            assert total == pytest.approx(want, abs=1e-4)
+
+
+def test_matches_cpp_incremental_states(tmp_path):
+    """Three-way: device == the C++ kernel's base_score_batch_np on the
+    same (state, word) pairs (the exact call the host first-pass decode
+    makes)."""
+    rng = np.random.RandomState(3)
+    path, vocab = _random_arpa(tmp_path, rng, 55)
+    cpp = ngram.NgramLM(path)
+    dev = DeviceNgramLM.from_arpa(path)
+    M = dev.order
+    words = vocab + ["oovword"]
+    n = 16
+    # roll C++ states and the device window forward together
+    st = [cpp.begin_state() for _ in range(n)]
+    ctx = jnp.asarray(dev.begin_context(n))
+    for step in range(4):
+        picked = [str(rng.choice(words)) for _ in range(n)]
+        wid = jnp.asarray(dev.word_ids(picked))
+        got = np.asarray(score_candidates(dev, ctx, wid[:, None]))[:, 0]
+        for i in range(n):
+            want, st[i] = cpp.base_score(st[i], picked[i])
+            assert got[i] == pytest.approx(want, abs=1e-5), (step, picked[i])
+        ctx = advance_context(ctx, wid)
+
+
+def test_probe_bound_is_tight_and_lookup_static(tmp_path):
+    """The build's recorded probe count must cover every stored key
+    (membership decided in P static probes, no while loops)."""
+    rng = np.random.RandomState(5)
+    path, _ = _random_arpa(tmp_path, rng, 77)
+    dev = DeviceNgramLM.from_arpa(path)
+    py = ngram.PyNgramLM(path)
+    for key, (logp, _bo) in py.grams.items():
+        k = len(key)
+        ids = dev.word_ids(list(key))
+        # direct probe of the level-k table
+        from chinese_asr_tpu.lm.device_ngram import _lookup
+        hit, lp, _ = _lookup(dev.ids[k - 1], dev.vals[k - 1],
+                             dev.probes[k - 1], jnp.asarray(ids[None, :]))
+        assert bool(hit[0]), key
+        assert float(lp[0]) == pytest.approx(logp, abs=1e-6)

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--small", action="store_true",
                     help="tiny model + forced CPU (flow smoke)")
+    ap.add_argument("--fused", action="store_true",
+                    help="also run the fused on-device-LM decode "
+                         "(decode/lm_fused.py) on the same inputs")
     args = ap.parse_args()
     if args.small:
         os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -122,6 +125,30 @@ def main():
                   f"{(wall - acc) * 1e3:>8.0f} ms "
                   f"({(wall - acc) / wall * 100:>4.1f}% of wall)",
                   flush=True)
+
+        if args.fused:
+            from chinese_asr_tpu.decode import lm_fused
+            from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
+            dlm = DeviceNgramLM.from_arpa(arpa)
+            tok2lm = jnp.asarray(dlm.token_id_table(vocab))
+            t0 = time.perf_counter()
+            res = lm_fused.lm_fused_decode_jit(
+                params, cfg, args.bw, feats, flens, dlm, tok2lm, args.topn)
+            np.asarray(res.fin_count)
+            print(f"# fused: compile+first run {time.perf_counter() - t0:.1f} s",
+                  flush=True)
+            for rep in range(args.reps):
+                t0 = time.perf_counter()
+                res = lm_fused.lm_fused_decode_jit(
+                    params, cfg, args.bw, feats, flens, dlm, tok2lm,
+                    args.topn)
+                # pull the compacted n-best (the product consumption path)
+                from chinese_asr_tpu.decode import beam as beam_mod
+                comp = beam_mod.compact_nbest(res)
+                [np.asarray(x) for x in comp]
+                wall = time.perf_counter() - t0
+                print(f"# fused rep {rep}: {wall * 1e3:.0f} ms/batch "
+                      f"(incl. compacted n-best pull)", flush=True)
 
 
 if __name__ == "__main__":
