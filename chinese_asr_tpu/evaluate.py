@@ -23,8 +23,24 @@ from .vocab import Vocab
 
 def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
                       bw: Optional[int] = None, lm=None,
+                      lm_mode: str = "second", topn: int = 20,
                       verbose: bool = True) -> Dict:
-    """Returns {"cer", "n", "pred", "ref", "seconds", "utts_per_sec"}."""
+    """Returns {"cer", "n", "pred", "ref", "seconds", "utts_per_sec"}.
+
+    ``lm_mode``: "second" (default) rescores the acoustic n-best with
+    the host C++ scorer (reference model.py:755); "first" runs the
+    fused on-device-LM first-pass decode (reference eval_with_lm,
+    model.py:989-1360, re-designed TPU-first in decode/lm_fused.py) —
+    ``lm`` may then be an ARPA path or a prebuilt DeviceNgramLM."""
+    dlm = tok2lm = None
+    if lm is not None and lm_mode == "first":
+        import jax.numpy as jnp
+
+        from .decode import lm_fused
+        from .lm.device_ngram import DeviceNgramLM
+        dlm = lm if isinstance(lm, DeviceNgramLM) \
+            else DeviceNgramLM.from_arpa(lm)
+        tok2lm = jnp.asarray(dlm.token_id_table(vocab))
     loader = ds_mod.make_eval_loader(manifest_path, cfg, vocab)
     preds: List[str] = []
     refs: List[str] = []
@@ -39,6 +55,17 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
         if not bw or bw <= 1:
             res = greedy_mod.greedy_decode_jit(params, cfg, feats, feat_lens)
             out = greedy_mod.finalize_greedy(res, vocab, text=text)
+        elif dlm is not None:
+            from .decode import lm_fused
+            res = lm_fused.lm_fused_decode_jit(params, cfg, bw, feats,
+                                               feat_lens, dlm, tok2lm, topn)
+            nbest = lm_fused.nbest_lists(res)
+            preds.extend(vocab.decode(h[0][0]) for h in nbest)
+            refs.extend(vocab.decode(t) for t in text)
+            if verbose:
+                print(f"  {len(preds)} utts, running CER "
+                      f"{batch_cer(preds, refs):.5f}", file=sys.stderr)
+            continue
         else:
             res = beam_mod.beam_decode_jit(params, cfg, bw, feats, feat_lens)
             out = beam_mod.finalize_beam(
@@ -83,13 +110,18 @@ def main(argv=None):
     ap.add_argument("--vocab", default=None, help="dict.pkl")
     ap.add_argument("--bw", type=int, default=None)
     ap.add_argument("--lm", default=None, help="ARPA n-gram LM")
+    ap.add_argument("--lm-mode", default="second",
+                    choices=("second", "first"),
+                    help="second: host C++ n-best rescore; first: fused "
+                         "on-device-LM first-pass decode")
     args = ap.parse_args(argv)
 
     from .api import ASR
     asr = ASR(ckpt_path=args.ckpt, vocab=args.vocab)
-    lm = ngram.load_lm(args.lm) if args.bw and args.bw > 1 else None
+    use_lm = args.lm if args.bw and args.bw > 1 else None
+    lm = use_lm if args.lm_mode == "first" else ngram.load_lm(use_lm)
     res = evaluate_manifest(asr.params, asr.cfg, asr.vocab, args.manifest,
-                            bw=args.bw, lm=lm)
+                            bw=args.bw, lm=lm, lm_mode=args.lm_mode)
     print(f"cer={res['cer']:.5f} n={res['n']} "
           f"utts/s={res['utts_per_sec']:.2f}")
 

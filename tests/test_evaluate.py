@@ -51,3 +51,25 @@ def test_compare_modes(corpus):
     assert set(out) == {"greedy", "beam2"}
     for v in out.values():
         assert v["n"] == 3 and np.isfinite(v["cer"])
+
+
+def test_evaluate_manifest_lm_first_pass(corpus, tmp_path):
+    """lm_mode="first" drives the fused on-device-LM decode end to end
+    (manifest -> loader -> lm_fused -> CER), accepting an ARPA path."""
+    mpath, vocab = corpus
+    lines = ["\\data\\", "ngram 1=11", "", "\\1-grams:",
+             "-9.0\t<unk>", "-9.0\t<s>", "-0.4\t</s>", "-0.2\ta"]
+    for ch in "bcdefgh":
+        lines.append(f"-3.0\t{ch}")
+    lines += ["", "\\end\\", ""]
+    arpa = str(tmp_path / "uni.arpa")
+    with open(arpa, "w") as f:
+        f.write("\n".join(lines))
+    params = las.init_params(jax.random.PRNGKey(0), SMALL)
+    res = evaluate_manifest(params, SMALL, vocab, mpath, bw=2, lm=arpa,
+                            lm_mode="first", topn=12, verbose=False)
+    assert res["n"] == 3
+    assert np.isfinite(res["cer"])
+    # the LM dominates with random acoustic weights: eos is the runner-up
+    # everywhere, so every sample harvests a finished hypothesis of "a"s
+    assert all(set(p) <= {"a"} for p in res["pred"])
