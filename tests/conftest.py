@@ -81,6 +81,109 @@ def no_persistent_compile_cache():
     yield
 
 
+# Persistent compile cache ON by default — safe again UNDER XDIST
+# SHARDING ONLY.  The segfault above is a late-process-compilation bug
+# (~250+ compiles in one process); with 2 loadfile workers no process
+# approaches the threshold, and 2 consecutive full-tier runs were green
+# with the cache on (304 + 314 passed; the warm run took 9:07 vs 29:39
+# uncached — the dominant suite cost was recompiling everything, every
+# run).  CHINESE_ASR_TEST_COMPILE_CACHE=0 opts out (e.g. to re-probe
+# the underlying XLA bug); do NOT remove the xdist addopts while the
+# cache is on.
+if os.environ.get("CHINESE_ASR_TEST_COMPILE_CACHE", "1") != "0":
+    from chinese_asr_tpu.utils import compile_cache
+    compile_cache.configure(_ROOT, cpu=True)
+
+
+# ---------------------------------------------------------------------------
+# Quick/full test tiers (VERDICT r3 #3).  The suite's heavy tail — overfit
+# trainings, torch differentials, mesh end-to-ends — is marked ``slow``
+# from the measured per-test durations of the round-4 full run
+# (/tmp/suite_r4b durations; everything >= ~20 s under 2-worker
+# contention).  pyproject addopts deselect them by default; run the FULL
+# tier with:  python -m pytest tests/ -m "slow or not slow"
+# The list lives here (not as per-file decorators) so the tier boundary
+# is one auditable table.
+# ---------------------------------------------------------------------------
+_SLOW = {
+    "test_trainer.py": {
+        "test_overfit_file_pipeline_end_to_end",
+        "test_fit_eval_checkpoint_resume",
+        "test_loss_decreases_overfit",
+    },
+    "test_sharding.py": {
+        "test_asr_api_serves_over_mesh",
+        "test_sharded_train_step_mixed_precision",
+        "test_sharded_train_step_matches_single_device",
+        "test_trainer_on_mesh",
+        "test_asr_api_mesh_with_second_pass",
+        "test_sharded_beam_matches_single_device",
+    },
+    "test_train.py": {
+        "test_train_remat_matches_no_remat",
+        "test_train_step_mixed_precision_bf16",
+        "test_forward_logits_gate_hoist_parity",
+        "test_bn_running_stats_update_with_torch_semantics",
+        "test_train_step_skips_nonfinite",
+        "test_train_step_overfits_tiny_batch",
+        "test_scheduled_sampling_changes_logits_not_shapes",
+        "test_forward_logits_hoisted_matches_stepwise",
+    },
+    "test_train_cli.py": {
+        "test_train_cli_resume",
+        "test_train_cli_end_to_end",
+        "test_train_cli_mesh_auto",
+    },
+    "test_wire.py": {
+        "test_flat_wire_transcripts_bit_identical_to_padded",
+        "test_flat_pow2_bucketing_transcripts_bit_identical",
+        "test_mulaw_wire_transcript_parity_on_overfit_model",
+        "test_adpcm_wire_transcript_parity_on_overfit_model",
+    },
+    "test_serve.py": {
+        "test_microbatcher_batch_ladder",
+        "test_microbatcher_direct",
+        "test_concurrent_requests_are_microbatched",
+    },
+    "test_reference_differential.py": {
+        "test_train_forward_loss_matches_reference",
+    },
+    "test_beam.py": {
+        "test_unrolled_loop_identical_to_single_step",
+    },
+    "test_data_api.py": {
+        "test_asr_three_modes_and_determinism",
+        "test_transcribe_batch_chunking",
+        "test_asr_bf16_mode",
+    },
+    "test_pallas_topk.py": {
+        "test_grouped_tie_heavy_fuzz",
+    },
+    "test_torch_differential.py": {
+        "test_encoder_gradients_match_torch",
+    },
+    "test_rnn.py": {
+        "test_local_rnn_matches_torch_gru_stack",
+    },
+    "test_config_variants.py": {
+        "test_fine_tune_freezes_non_attention_params",
+    },
+    "test_pallas_lstm.py": {
+        "test_custom_vjp_grad_matches_scan",
+    },
+    "test_bf16.py": {
+        "test_bf16_beam_transcripts_match_f32",
+    },
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        names = _SLOW.get(os.path.basename(str(item.fspath)))
+        if names and item.name.split("[")[0] in names:
+            item.add_marker(pytest.mark.slow)
+
+
 # Diagnostic hook: CHINESE_ASR_SEGV_TRACE=/path/to/segv_trace.so loads a
 # native crash tracer (sigaltstack + backtrace_symbols_fd) that prints the
 # NATIVE frames of a fatal signal — faulthandler above only shows Python
