@@ -31,7 +31,7 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
     the host C++ scorer (reference model.py:755); "first" runs the
     fused on-device-LM first-pass decode (reference eval_with_lm,
     model.py:989-1360, re-designed TPU-first in decode/lm_fused.py) —
-    ``lm`` may then be an ARPA path or a prebuilt DeviceNgramLM."""
+    ``lm`` may then be an ARPA/.klm path or a prebuilt DeviceNgramLM."""
     dlm = tok2lm = None
     if lm is not None and lm_mode == "first":
         import jax.numpy as jnp
@@ -39,7 +39,7 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
         from .decode import lm_fused
         from .lm.device_ngram import DeviceNgramLM
         dlm = lm if isinstance(lm, DeviceNgramLM) \
-            else DeviceNgramLM.from_arpa(lm)
+            else DeviceNgramLM.from_path(lm)
         tok2lm = jnp.asarray(dlm.token_id_table(vocab))
     loader = ds_mod.make_eval_loader(manifest_path, cfg, vocab)
     preds: List[str] = []
@@ -56,7 +56,6 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
             res = greedy_mod.greedy_decode_jit(params, cfg, feats, feat_lens)
             out = greedy_mod.finalize_greedy(res, vocab, text=text)
         elif dlm is not None:
-            from .decode import lm_fused
             res = lm_fused.lm_fused_decode_jit(params, cfg, bw, feats,
                                                feat_lens, dlm, tok2lm, topn)
             nbest = lm_fused.nbest_lists(res)

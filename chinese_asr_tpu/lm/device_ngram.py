@@ -102,21 +102,76 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
     return ids, tv, max_disp + 1
 
 
+# kenlm's CombineWordHash constants (lm/search_hashed.hh), split into
+# u32 halves for the jit twin of runtime/cpp ngram_hash()
+_M1 = 8978948897894561157
+_M2 = 17894857484156487943
+
+
+def _mul32_full(a, c: int):
+    """u32 array × u32 constant -> (hi, lo) u32 full 64-bit product."""
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> 16
+    c0, c1 = c & 0xFFFF, c >> 16
+    p00 = a0 * jnp.uint32(c0)
+    p01 = a0 * jnp.uint32(c1)
+    p10 = a1 * jnp.uint32(c0)
+    p11 = a1 * jnp.uint32(c1)
+    mid = (p00 >> 16) + (p01 & jnp.uint32(0xFFFF)) + (p10 & jnp.uint32(0xFFFF))
+    lo = (p00 & jnp.uint32(0xFFFF)) | ((mid & jnp.uint32(0xFFFF)) << 16)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def _mul64_const(a_hi, a_lo, c: int):
+    """(hi, lo) u32 arrays × u64 constant, mod 2^64."""
+    c_hi, c_lo = (c >> 32) & 0xFFFFFFFF, c & 0xFFFFFFFF
+    p_hi, p_lo = _mul32_full(a_lo, c_lo)
+    hi = p_hi + a_lo * jnp.uint32(c_hi) + a_hi * jnp.uint32(c_lo)
+    return hi, p_lo
+
+
+def _combine_word_hash(h_hi, h_lo, nxt):
+    """kenlm CombineWordHash: h*M1 ^ (1+next)*M2 — nxt u32 array."""
+    t_hi, t_lo = _mul64_const(h_hi, h_lo, _M1)
+    n1 = nxt + jnp.uint32(1)
+    u_hi, u_lo = _mul32_full(n1, _M2 & 0xFFFFFFFF)
+    u_hi = u_hi + n1 * jnp.uint32(_M2 >> 32)
+    return t_hi ^ u_hi, t_lo ^ u_lo
+
+
+def _u32_to_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
 class DeviceNgramLM:
     """Per-order probing hash tables as device arrays (a jax pytree:
     the tables are leaves; order/capacities/probe counts are static
     aux data, so the same jitted program serves any model with the
     same structure).  ``word2id`` is host-only (token mapping happens
-    before jit) and does not survive pytree flattening."""
+    before jit) and does not survive pytree flattening.
+
+    Two key layouts share all machinery:
+    - ``hashed=False`` (from_arpa): level-k keys are the full id tuple.
+    - ``hashed=True`` (from_lm — text/probing/trie `.klm` via the C++
+      reader's `dump_order`): level-1 keys are [id]; level-k>=2 keys are
+      kenlm's 64-bit ngram_hash split into [hi, lo] int32, with the jit
+      side computing the same hash chain in u32-pair arithmetic
+      (`_combine_word_hash`).  Exact-compare on the stored 64-bit key —
+      the same collision model kenlm's own probing tables accept."""
 
     def __init__(self, order: int, ids, vals, probes, unk_id: int,
-                 word2id: Dict[str, int] = None):
+                 word2id: Dict[str, int] = None, hashed: bool = False):
         self.order = order
-        self.ids = tuple(ids)       # ids[k][cap_k, k+1] for k-gram level k+1
+        self.ids = tuple(ids)       # ids[k][cap_k, kcols] for level k+1
         self.vals = tuple(vals)     # vals[k][cap_k, 2] (log10 p, backoff)
         self.probes = tuple(probes)
         self.unk_id = unk_id
         self.word2id = word2id
+        self.hashed = hashed
+        self._host_lm = None        # set by from_lm (host-only)
+        self._bos_id = None if word2id is None else \
+            word2id.get("<s>", unk_id)
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -151,10 +206,54 @@ class DeviceNgramLM:
             probes.append(p)
         return cls(order, ids, vals, probes, word2id["<unk>"], word2id)
 
+    @classmethod
+    def from_lm(cls, lm) -> "DeviceNgramLM":
+        """Build from a loaded `lm.ngram.NgramLM` — ARPA text OR any
+        KenLM binary `.klm` layout the C++ reader handles (probing,
+        trie, quantized/array trie).  Uses the reader's per-order
+        enumeration (`dump_order`); keys for orders >= 2 are kenlm's
+        64-bit ngram_hash (probing binaries store only hashes, so id
+        tuples are unrecoverable there — the device side computes the
+        same hash chain instead)."""
+        order = lm.order
+        ids, vals, probes = [], [], []
+        for k in range(1, order + 1):
+            hi, lo, prob, bo = lm.dump_order(k)
+            if k == 1:
+                assert lo.size == 0 or int(lo.max()) < 2**31, \
+                    "word ids must fit int31"
+                keys = lo.astype(np.int32)[:, None]
+            else:
+                keys = np.stack([hi.view(np.int32), lo.view(np.int32)],
+                                axis=1)
+            vals_np = np.stack([prob, bo], axis=1).astype(np.float32)
+            i, v, p = _build_table(np.ascontiguousarray(keys), vals_np)
+            ids.append(jnp.asarray(i))
+            vals.append(jnp.asarray(v))
+            probes.append(p)
+        unk_id = int(lm.word_ids(["<unk>"])[0])
+        obj = cls(order, ids, vals, probes, unk_id, None, hashed=True)
+        obj._host_lm = lm
+        obj._bos_id = int(lm.word_ids(["<s>"])[0])
+        return obj
+
+    @classmethod
+    def from_path(cls, path: str) -> "DeviceNgramLM":
+        """ARPA text or any `.klm` binary: prefer the C++ reader's
+        enumeration (handles every layout); fall back to the pure-python
+        ARPA parse when the native kernel is unavailable."""
+        from . import ngram as ngram_mod
+        lm = ngram_mod.load_lm(path)
+        if lm is not None and getattr(lm, "_py", None) is None:
+            return cls.from_lm(lm)
+        return cls.from_arpa(path)
+
     # ------------------------------------------------------------- host API
     def word_ids(self, words: Sequence[str]) -> np.ndarray:
-        return np.asarray([self.word2id.get(w, self.unk_id) for w in words],
-                          np.int32)
+        if self.word2id is not None:
+            return np.asarray(
+                [self.word2id.get(w, self.unk_id) for w in words], np.int32)
+        return np.asarray(self._host_lm.word_ids(list(words)), np.int32)
 
     def token_id_table(self, vocab) -> np.ndarray:
         """token id -> LM word id (OOV -> <unk>), like NgramLM's."""
@@ -165,7 +264,7 @@ class DeviceNgramLM:
         """[n_rows, order-1] histories = (<s>,) — kenlm begin state."""
         ctx = np.full((n_rows, max(self.order - 1, 1)), -1, np.int32)
         if self.order > 1:
-            ctx[:, -1] = self.word2id.get("<s>", self.unk_id)
+            ctx[:, -1] = self._bos_id
         return ctx
 
     def null_context(self, n_rows: int) -> np.ndarray:
@@ -174,13 +273,14 @@ class DeviceNgramLM:
 
 
 def _tree_flatten(lm: DeviceNgramLM):
-    return (lm.ids, lm.vals), (lm.order, lm.probes, lm.unk_id)
+    return (lm.ids, lm.vals), (lm.order, lm.probes, lm.unk_id, lm.hashed)
 
 
 def _tree_unflatten(aux, children):
-    order, probes, unk_id = aux
+    order, probes, unk_id, hashed = aux
     ids, vals = children
-    return DeviceNgramLM(order, ids, vals, probes, unk_id, None)
+    return DeviceNgramLM(order, ids, vals, probes, unk_id, None,
+                         hashed=hashed)
 
 
 jax.tree_util.register_pytree_node(DeviceNgramLM, _tree_flatten,
@@ -216,24 +316,66 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
     """
     M = lm.order
     C = cand_ids.shape[-1]
-    # context lookups (shared across a row's candidates): level k uses
-    # the last k context words
-    bo_hit, bo_val = [], []
-    for k in range(1, M):
-        h, _lp, bo = _lookup(lm.ids[k - 1], lm.vals[k - 1], lm.probes[k - 1],
-                             ctx_ids[..., M - 1 - k:])
-        bo_hit.append(h)
-        bo_val.append(jnp.where(h, bo, 0.0))
-    # gram lookups: level k keys = (last k context words, candidate)
-    gram = []
-    for k in range(M):
-        if k == 0:
-            keys = cand_ids[..., None]                     # [Q, C, 1]
-        else:
-            ctx_k = jnp.broadcast_to(ctx_ids[..., None, M - 1 - k:],
-                                     (*cand_ids.shape, k))
-            keys = jnp.concatenate([ctx_k, cand_ids[..., None]], axis=-1)
-        gram.append(_lookup(lm.ids[k], lm.vals[k], lm.probes[k], keys))
+    if lm.hashed:
+        # kenlm ngram_hash chains, computed incrementally right-to-left
+        # (the predicted word seeds the hash, then history words fold in)
+        cw = cand_ids.astype(jnp.uint32)                   # [Q, C]
+        # validity: level k usable iff the k-th most recent context word
+        # exists; -1-padded histories are contiguous on the left
+        valid = [None]
+        g_hi = jnp.zeros_like(cw)
+        g_lo = cw
+        gram_keys = [cand_ids[..., None]]                  # level 1: [id]
+        c_hi = c_lo = None
+        ctx_keys = [None]                                  # 1-indexed pad
+        for k in range(1, M):
+            w_k = ctx_ids[..., M - 1 - k]                  # [Q]
+            valid.append(w_k >= 0)
+            wk_u = w_k.astype(jnp.uint32)
+            g_hi, g_lo = _combine_word_hash(g_hi, g_lo, wk_u[..., None])
+            gram_keys.append(jnp.stack(
+                [_u32_to_i32(g_hi), _u32_to_i32(g_lo)], axis=-1))
+            if k == 1:
+                ctx_keys.append(w_k[..., None].astype(jnp.int32))
+                c_hi = jnp.zeros_like(wk_u)
+                c_lo = wk_u
+            else:
+                c_hi, c_lo = _combine_word_hash(c_hi, c_lo, wk_u)
+                ctx_keys.append(jnp.stack(
+                    [_u32_to_i32(c_hi), _u32_to_i32(c_lo)], axis=-1))
+        bo_hit, bo_val = [], []
+        for k in range(1, M):
+            h, _lp, bo = _lookup(lm.ids[k - 1], lm.vals[k - 1],
+                                 lm.probes[k - 1], ctx_keys[k])
+            h = h & valid[k]
+            bo_hit.append(h)
+            bo_val.append(jnp.where(h, bo, 0.0))
+        gram = []
+        for k in range(M):
+            h, lp, bo = _lookup(lm.ids[k], lm.vals[k], lm.probes[k],
+                                gram_keys[k])
+            if k > 0:
+                h = h & valid[k][..., None]
+            gram.append((h, lp, bo))
+    else:
+        # context lookups (shared across a row's candidates): level k
+        # uses the last k context words
+        bo_hit, bo_val = [], []
+        for k in range(1, M):
+            h, _lp, bo = _lookup(lm.ids[k - 1], lm.vals[k - 1],
+                                 lm.probes[k - 1], ctx_ids[..., M - 1 - k:])
+            bo_hit.append(h)
+            bo_val.append(jnp.where(h, bo, 0.0))
+        # gram lookups: level k keys = (last k context words, candidate)
+        gram = []
+        for k in range(M):
+            if k == 0:
+                keys = cand_ids[..., None]                 # [Q, C, 1]
+            else:
+                ctx_k = jnp.broadcast_to(ctx_ids[..., None, M - 1 - k:],
+                                         (*cand_ids.shape, k))
+                keys = jnp.concatenate([ctx_k, cand_ids[..., None]], axis=-1)
+            gram.append(_lookup(lm.ids[k], lm.vals[k], lm.probes[k], keys))
     # longest hitting level wins; add the backoffs of every existing
     # context LONGER than the match (the host scorers' shrinking loop)
     S = jnp.zeros(cand_ids.shape, jnp.float32)

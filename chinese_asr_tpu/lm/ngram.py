@@ -159,6 +159,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.lm_advance_batch.restype = None
     lib.lm_advance_batch.argtypes = [ctypes.c_void_p, _u32p, _i32p,
                                      ctypes.c_int32, _u32p, ctypes.c_int32]
+    _f32p = ctypes.POINTER(ctypes.c_float)
+    lib.lm_dump_order.restype = ctypes.c_int64
+    lib.lm_dump_order.argtypes = [ctypes.c_void_p, ctypes.c_int32, _u32p,
+                                  _u32p, _f32p, _f32p, ctypes.c_int64]
     return lib
 
 
@@ -404,6 +408,33 @@ class NgramLM:
         if self._py is not None:
             return len(self._py.grams)
         return int(self._lib.lm_num_ngrams(self._h))
+
+    def dump_order(self, k: int):
+        """Enumerate every order-``k`` entry for the on-device LM build
+        (``lm/device_ngram.py``): (key_hi, key_lo, prob, backoff) uint32/
+        uint32/f32/f32 arrays, uniform across text/probing/trie backends.
+        k==1 keys are the word id itself (key_hi 0); k>=2 keys are
+        kenlm's ngram_hash over the model's word ids."""
+        assert self._py is None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        z = np.zeros(1, np.uint32)
+        zf = np.zeros(1, np.float32)
+        n = int(self._lib.lm_dump_order(
+            self._h, k, z.ctypes.data_as(_u32p), z.ctypes.data_as(_u32p),
+            zf.ctypes.data_as(f32p), zf.ctypes.data_as(f32p), 0))
+        if n < 0:
+            raise ValueError(self._lib.lm_last_error().decode())
+        hi = np.zeros(n, np.uint32)
+        lo = np.zeros(n, np.uint32)
+        prob = np.zeros(n, np.float32)
+        backoff = np.zeros(n, np.float32)
+        if n:
+            got = int(self._lib.lm_dump_order(
+                self._h, k, hi.ctypes.data_as(_u32p),
+                lo.ctypes.data_as(_u32p), prob.ctypes.data_as(f32p),
+                backoff.ctypes.data_as(f32p), n))
+            assert got == n, (got, n)
+        return hi, lo, prob, backoff
 
     def __del__(self):
         h = getattr(self, "_h", None)

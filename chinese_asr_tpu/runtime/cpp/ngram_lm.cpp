@@ -1557,6 +1557,110 @@ struct Handle {
   }
 };
 
+// ---------------------------------------------------------------------------
+// n-gram enumeration (the on-device LM build, lm/device_ngram.py): every
+// order-k entry as (ngram_hash key, prob, backoff) in the MODEL'S id
+// space — uniform across the text/probing/trie backends.  k==1 keys are
+// the word id itself (the device keeps unigrams as a plain id-keyed
+// table; bin/trie store them as id-indexed arrays anyway).
+// ---------------------------------------------------------------------------
+struct DumpSink {
+  uint32_t* hi;
+  uint32_t* lo;
+  float* prob;
+  float* backoff;
+  int64_t cap;      // buffer capacity; emit() keeps counting past it
+  int64_t n = 0;
+
+  void emit(uint64_t key, float p, float b) {
+    if (n < cap) {
+      hi[n] = uint32_t(key >> 32);
+      lo[n] = uint32_t(key);
+      prob[n] = p;
+      backoff[n] = b;
+    }
+    ++n;
+  }
+};
+
+void dump_text(const Model* m, int k, DumpSink* s) {
+  for (const auto& kv : m->grams) {
+    if (kv.first.len != k) continue;
+    const uint64_t key = (k == 1) ? kv.first.ids[0]
+                                  : ngram_hash(kv.first.ids, k);
+    s->emit(key, kv.second.logp, kv.second.backoff);
+  }
+}
+
+void dump_bin(const BinModel* m, int k, DumpSink* s) {
+  if (k == 1) {
+    // ids run 0..counts[0] (bin_score_one's bound); 8B prob/backoff pairs
+    for (uint64_t w = 0; w <= m->counts[0]; ++w) {
+      float p, b;
+      std::memcpy(&p, m->unigram + size_t(w) * 8, 4);
+      std::memcpy(&b, m->unigram + size_t(w) * 8 + 4, 4);
+      s->emit(w, p, b);
+    }
+    return;
+  }
+  const BinTable& t = (k == m->order) ? m->longest : m->mid[k - 2];
+  for (uint64_t i = 0; i < t.buckets; ++i) {
+    const char* e = t.base + i * t.entry_size;
+    uint64_t key;
+    std::memcpy(&key, e, 8);
+    if (key == 0) continue;                       // empty bucket
+    float p, b = 0.f;
+    std::memcpy(&p, e + 8, 4);
+    if (t.entry_size >= 16) std::memcpy(&b, e + 12, 4);
+    s->emit(key, p, b);
+  }
+}
+
+// suffix-first DFS: depth d's record stores word w_{k-d}; the final
+// record (depth k-1) carries the k-gram's prob/backoff
+void dump_trie_rec(const TrieModel* m, int k, int depth, uint64_t b,
+                   uint64_t e, uint32_t* words, DumpSink* s) {
+  const bool last = depth == k - 1;
+  if (k == m->order && last) {
+    for (uint64_t i = b; i < e; ++i) {
+      words[0] = uint32_t(read_bits(m->longest.bits,
+                                    i * m->longest.total_bits,
+                                    m->longest.word_bits));
+      s->emit(ngram_hash(words, k), trie_longest_prob(m, i), 0.f);
+    }
+    return;
+  }
+  const TrieLevel& L = m->mid[depth - 1];
+  for (uint64_t i = b; i < e; ++i) {
+    words[k - 1 - depth] = uint32_t(read_bits(L.bits, i * L.total_bits,
+                                              L.word_bits));
+    float p, bo;
+    uint64_t cb, ce;
+    trie_mid_read(m, L, i, &p, &bo, &cb, &ce);
+    if (last) s->emit(ngram_hash(words, k), p, bo);
+    else if (cb < ce) dump_trie_rec(m, k, depth + 1, cb, ce, words, s);
+  }
+}
+
+void dump_trie(const TrieModel* m, int k, DumpSink* s) {
+  if (k == 1) {
+    for (uint32_t w = 0; w < m->bound; ++w) {
+      float p, bo;
+      trie_unigram_at(m, w, &p, &bo, nullptr, nullptr);
+      s->emit(w, p, bo);
+    }
+    return;
+  }
+  uint32_t words[kMaxOrder];
+  for (uint32_t w = 0; w < m->bound; ++w) {
+    uint64_t b, e;
+    trie_unigram_at(m, w, nullptr, nullptr, &b, &e);
+    if (b >= e) continue;
+    words[k - 1] = w;
+    dump_trie_rec(m, k, 1, b, e, words, s);
+  }
+}
+
 double score_ids_h(const Handle* h, const uint32_t* ids, int n, int bos,
                    int eos) {
   uint32_t ctx[2 * kMaxOrder];
@@ -1680,6 +1784,23 @@ int64_t lm_num_ngrams(void* hv) {
   int64_t total = 0;
   for (int i = 0; i < order; ++i) total += static_cast<int64_t>(counts[i]);
   return total;
+}
+
+// enumerate every order-k entry as (ngram_hash key hi/lo, prob, backoff)
+// in the model's id space (k==1 keys are the word id itself); fills the
+// caller's buffers up to `cap` rows and returns the TOTAL entry count,
+// so a cap=0 call sizes the buffers.  Uniform across text/probing/trie —
+// the on-device LM build (lm/device_ngram.py) consumes this.
+int64_t lm_dump_order(void* hv, int32_t k, uint32_t* hi, uint32_t* lo,
+                      float* prob, float* backoff, int64_t cap) {
+  Handle* h = static_cast<Handle*>(hv);
+  if (k < 1 || k > h->order()) { set_error("dump: order out of range");
+                                 return -1; }
+  DumpSink s{hi, lo, prob, backoff, cap};
+  if (h->arpa) dump_text(h->arpa, k, &s);
+  else if (h->bin) dump_bin(h->bin, k, &s);
+  else dump_trie(h->trie, k, &s);
+  return s.n;
 }
 
 // returns id, or the <unk> id for OOV (-1 if no <unk> in an ARPA model;

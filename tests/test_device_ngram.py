@@ -114,3 +114,74 @@ def test_probe_bound_is_tight_and_lookup_static(tmp_path):
                              dev.probes[k - 1], jnp.asarray(ids[None, :]))
         assert bool(hit[0]), key
         assert float(lp[0]) == pytest.approx(logp, abs=1e-6)
+
+
+def _pairs(rng, py, dev, M, Q=8, C=4, words=()):
+    ctx_dev = np.full((Q, max(M - 1, 1)), -1, np.int32)
+    ctx_py = []
+    for q in range(Q):
+        n_ctx = int(rng.randint(0, M))
+        picked = [str(rng.choice(words)) for _ in range(n_ctx)]
+        mapped = [_mapped(py, w) for w in picked]
+        ctx_py.append(tuple(mapped))
+        if n_ctx:
+            ctx_dev[q, -n_ctx:] = dev.word_ids(mapped)
+    cand_w = [[str(rng.choice(words)) for _ in range(C)] for _ in range(Q)]
+    cand_dev = np.stack([dev.word_ids([_mapped(py, w) for w in row])
+                         for row in cand_w])
+    return ctx_dev, ctx_py, cand_w, cand_dev
+
+
+@pytest.mark.parametrize("layout", ["text", "probing", "trie", "quant_trie"])
+def test_from_lm_matches_oracle_all_backends(tmp_path, layout):
+    """from_lm builds hash-keyed device tables via the C++ reader's
+    enumeration — for ARPA text AND the .klm binary family (probing
+    stores only 64-bit ngram hashes; the jit side recomputes kenlm's
+    hash chain in u32-pair arithmetic).  Scores must match the Python
+    oracle on the same random pruned ARPAs from_arpa is tested with."""
+    rng = np.random.RandomState(13)
+    for idx in range(4):
+        path, vocab = _random_arpa(tmp_path, rng, 200 + idx)
+        py = ngram.PyNgramLM(path)
+        src = ngram.NgramLM(path)
+        if layout == "text":
+            lm = src
+        else:
+            blob = str(tmp_path / f"m{idx}_{layout}.klm")
+            kw = {"probing": dict(layout="probing"),
+                  "trie": dict(layout="trie"),
+                  "quant_trie": dict(layout="quant_trie", prob_bits=10,
+                                     backoff_bits=9)}[layout]
+            src.write_binary(blob, **kw)
+            lm = ngram.NgramLM(blob)
+        dev = DeviceNgramLM.from_lm(lm)
+        assert dev.hashed
+        M = dev.order
+        words = vocab + ["oovword", "<unk>", "</s>", "<s>"]
+        ctx_dev, ctx_py, cand_w, cand_dev = _pairs(rng, py, dev, M,
+                                                   words=words)
+        got = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                          jnp.asarray(cand_dev)))
+        # quantized tries score with binned values: compare against the
+        # C++ scorer on the SAME quantized model instead of the oracle
+        if layout == "quant_trie":
+            for q in range(got.shape[0]):
+                st = _state_of(lm, ctx_py[q])
+                for c in range(got.shape[1]):
+                    want, _ = lm.base_score(st, _mapped(py, cand_w[q][c]))
+                    assert got[q, c] == pytest.approx(want, abs=1e-5)
+        else:
+            for q in range(got.shape[0]):
+                for c in range(got.shape[1]):
+                    want = py._score_one(ctx_py[q], _mapped(py, cand_w[q][c]))
+                    assert got[q, c] == pytest.approx(want, abs=1e-5), (
+                        idx, ctx_py[q], cand_w[q][c])
+
+
+def _state_of(lm, ctx_words):
+    """Roll a C++ incremental state through ctx_words from the null
+    state (the device context window's semantics)."""
+    st = lm.null_state()
+    for w in ctx_words:
+        _, st = lm.base_score(st, w)
+    return st

@@ -164,3 +164,29 @@ def test_fused_jit_cached_across_calls(tmp_path):
                                       tok2lm, topn=6)
     assert fn._cache_size() == misses0
     assert r1.fin_tokens.shape == r2.fin_tokens.shape
+
+
+def test_fused_from_klm_binary_matches_arpa_build(tmp_path):
+    """A probing .klm-built device LM drives the fused decode to the
+    same n-best as the ARPA-built one (the reference ships its LM as a
+    PROBING binary, main.py:126)."""
+    rng = np.random.RandomState(21)
+    cfg = SMALL
+    vocab = make_vocab()
+    path = random_trigram_arpa(tmp_path, rng, 70)
+    host = ngram.NgramLM(path)
+    blob = str(tmp_path / "m.klm")
+    host.write_binary(blob)
+    dlm_a = DeviceNgramLM.from_arpa(path)
+    dlm_k = DeviceNgramLM.from_path(blob)
+    assert dlm_k.hashed and not dlm_a.hashed
+    params = las.init_params(jax.random.PRNGKey(21), cfg)
+    feats, lens = inputs(cfg, seed=21, B=2)
+    res_a = lm_fused.lm_fused_decode(
+        params, cfg, 2, feats, lens, dlm_a,
+        jnp.asarray(dlm_a.token_id_table(vocab)), topn=6)
+    res_k = lm_fused.lm_fused_decode(
+        params, cfg, 2, feats, lens, dlm_k,
+        jnp.asarray(dlm_k.token_id_table(vocab)), topn=6)
+    assert_nbest_equal(lm_fused.nbest_lists(res_a),
+                       lm_fused.nbest_lists(res_k))
