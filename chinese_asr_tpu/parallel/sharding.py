@@ -149,6 +149,27 @@ def make_sharded_beam(cfg: Config, bw: int, params, mesh: Mesh):
     return jax.jit(fn, in_shardings=(psh, d, d))
 
 
+def make_sharded_lm_fused(cfg: Config, bw: int, params, mesh: Mesh,
+                          dlm, topn: int = 20):
+    """Sharded fused first-pass-LM decode (decode/lm_fused.py): the
+    n-gram hash tables REPLICATE across the mesh (read-only gathers,
+    no collectives) while the batch and flattened-beam dims shard over
+    the data axis exactly like the acoustic beam decode."""
+    from ..decode import lm_fused as lmf_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    d = NamedSharding(mesh, P(cfg.mesh.data_axis))
+    rep = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), (dlm,))[0]
+
+    def fn(params, feats, feat_lens, dlm, tok2lm):
+        return lmf_mod.lm_fused_decode(params, cfg, bw, feats, feat_lens,
+                                       dlm, tok2lm, topn=topn)
+
+    return jax.jit(fn, in_shardings=(psh, d, d, rep,
+                                     NamedSharding(mesh, P())))
+
+
 def make_sharded_beam_best(cfg: Config, bw: int, params, mesh: Mesh):
     """Sharded fused decode + on-device best selection — the serving fast
     path (api._decode_dispatch) on a mesh: only [B, max_len] rows leave

@@ -188,3 +188,41 @@ def test_asr_api_mesh_with_second_pass(tmp_path):
     t1 = ASR(**kw).transcribe_wavs(wavs)
     tm = ASR(mesh=mesh, **kw).transcribe_wavs(wavs)
     assert tm == t1
+
+
+def test_sharded_lm_fused_matches_single_device(tmp_path):
+    """The fused on-device-LM decode over the mesh: n-gram tables
+    replicate (read-only gathers, no collectives), batch/beam dims
+    shard — outputs equal the single-device fused decode."""
+    import jax.numpy as jnp
+
+    from chinese_asr_tpu.decode import lm_fused
+    from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
+    from test_lm_fused import (SMALL as LM_SMALL, make_vocab,
+                               random_trigram_arpa)
+
+    cfg = LM_SMALL.with_("mesh", data_parallel=4, model_parallel=2)
+    mesh = sharding.make_mesh(cfg)
+    vocab = make_vocab()
+    rng = np.random.RandomState(31)
+    dlm = DeviceNgramLM.from_arpa(random_trigram_arpa(tmp_path, rng, 31))
+    tok2lm = jnp.asarray(dlm.token_id_table(vocab))
+    params = las.init_params(jax.random.PRNGKey(31), cfg)
+    B, T = 8, 7
+    feats = jnp.asarray(rng.randn(B, T, cfg.audio.feat_dim)
+                        .astype(np.float32))
+    lens = jnp.asarray(np.full(B, T, np.int32))
+
+    r1 = lm_fused.lm_fused_decode_jit(params, cfg, 2, feats, lens, dlm,
+                                      tok2lm, topn=6)
+    run = sharding.make_sharded_lm_fused(cfg, 2, params, mesh, dlm, topn=6)
+    sp = sharding.shard_params(params, cfg, mesh)
+    r2 = run(sp, feats, lens, dlm, tok2lm)
+
+    np.testing.assert_array_equal(np.asarray(r1.fin_tokens),
+                                  np.asarray(r2.fin_tokens))
+    np.testing.assert_array_equal(np.asarray(r1.live_tokens),
+                                  np.asarray(r2.live_tokens))
+    np.testing.assert_allclose(np.asarray(r1.fin_scores),
+                               np.asarray(r2.fin_scores),
+                               rtol=1e-5, atol=1e-6)
