@@ -79,26 +79,51 @@ def _hash_jnp(keys: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_table(keys: np.ndarray, vals: np.ndarray):
-    """Host-side linear-probing build.  keys [n, k] int32 (unique rows),
-    vals [n, 2] f32 -> (ids [cap, k], vals [cap, 2], probes)."""
+    """Host-side linear-probing build, vectorized (production LMs carry
+    tens of millions of n-grams; a per-entry Python loop costs minutes).
+
+    Inserting in ascending-home order makes linear probing a parking
+    function: with entries sorted by home slot, the final position is
+    pos_i = max(home_i, pos_{i-1} + 1), which is one prefix-max —
+    pos = max.accumulate(home - arange) + arange.  Any insertion order
+    yields a valid table (lookups only need every key within the
+    recorded worst displacement of its own home), so choosing this one
+    loses nothing.  Entries pushed past the end wrap to the front; at
+    load <= 0.5 that tail is tiny and placed with a short loop.
+
+    keys [n, k] int32 (unique rows), vals [n, 2] f32 ->
+    (ids [cap, k], vals [cap, 2], probes)."""
     n, k = keys.shape
     cap = 1 << max(3, int(np.ceil(np.log2(max(2 * n, 1) + 1))))
     ids = np.full((cap, k), -1, np.int32)
     tv = np.zeros((cap, 2), np.float32)
+    if n == 0:
+        return ids, tv, 1
     home = (_hash_np(keys) & np.uint32(cap - 1)).astype(np.int64)
-    occupied = np.zeros(cap, bool)
-    max_disp = 0
-    for i in range(n):
-        s = home[i]
-        d = 0
-        while occupied[s]:
-            s = (s + 1) & (cap - 1)
-            d += 1
-        occupied[s] = True
-        ids[s] = keys[i]
-        tv[s] = vals[i]
-        if d > max_disp:
-            max_disp = d
+    order = np.argsort(home, kind="stable")
+    hs = home[order]
+    ar = np.arange(n, dtype=np.int64)
+    pos = np.maximum.accumulate(hs - ar) + ar
+    disp = pos - hs
+    wrap = pos >= cap
+    fit = ~wrap
+    ids[pos[fit]] = keys[order[fit]]
+    tv[pos[fit]] = vals[order[fit]]
+    max_disp = int(disp[fit].max()) if fit.any() else 0
+    if wrap.any():
+        occupied = np.zeros(cap, bool)
+        occupied[pos[fit]] = True
+        for i in np.nonzero(wrap)[0]:
+            s = int(hs[i])
+            d = 0
+            while occupied[s]:
+                s = (s + 1) & (cap - 1)
+                d += 1
+            occupied[s] = True
+            ids[s] = keys[order[i]]
+            tv[s] = vals[order[i]]
+            if d > max_disp:
+                max_disp = d
     return ids, tv, max_disp + 1
 
 

@@ -185,3 +185,29 @@ def _state_of(lm, ctx_words):
     for w in ctx_words:
         _, st = lm.base_score(st, w)
     return st
+
+
+def test_vectorized_build_fuzz():
+    """The parking-function build must place EVERY key within the
+    recorded probe window (incl. wrap-around clusters), and misses must
+    stay misses — fuzzed at a size where the vectorized path and the
+    wrap tail both engage."""
+    from chinese_asr_tpu.lm.device_ngram import _build_table, _lookup
+    rng = np.random.RandomState(17)
+    for trial, n in [(0, 20000), (1, 513), (2, 7)]:
+        keys = np.unique(rng.randint(0, 2**31 - 1, size=(n * 2, 2),
+                                     dtype=np.int32), axis=0)[:n]
+        vals = rng.randn(len(keys), 2).astype(np.float32)
+        ids, tv, probes = _build_table(keys, vals)
+        hit, lp, bo = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
+                              jnp.asarray(keys))
+        assert bool(np.asarray(hit).all()), trial
+        np.testing.assert_array_equal(np.asarray(lp), vals[:, 0])
+        np.testing.assert_array_equal(np.asarray(bo), vals[:, 1])
+        # misses: keys not inserted (flip a bit outside the set)
+        miss = keys.copy()
+        miss[:, 1] ^= 1
+        miss_rows = ~(miss[:, None, :] == keys[None, :, :]).all(-1).any(1)
+        h2, _, _ = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
+                           jnp.asarray(miss))
+        assert not np.asarray(h2)[miss_rows].any(), trial
