@@ -281,6 +281,41 @@ def main() -> None:
         run_config("batched_bw16_lm2p", BIG, 16, list(DUR), lm=lm,
                    pipelined=True, trials=3)
 
+        # 4b (round 4): fused FIRST-pass LM decode — the n-gram tables
+        # live on device (lm/device_ngram.py) and the whole LM-driven
+        # beam search is one jitted while_loop (decode/lm_fused.py); the
+        # same ARPA as config 4, so the two LM modes are comparable
+        from chinese_asr_tpu.decode import lm_fused
+        from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
+        dlm = DeviceNgramLM.from_path(arpa)
+        tok2lm_d = jnp.asarray(dlm.token_id_table(vocab))
+        wavs_f, lens_f = _mk_wavs(rng, BIG, list(DUR))
+        wavs_fd, lens_fd = jnp.asarray(wavs_f), jnp.asarray(lens_f)
+
+        @jax.jit
+        def lm1p_pipe(p, w, l, dlm, tok2lm):
+            f, fl = features.featurize_batch(w, l, cfg.audio)
+            return lm_fused.lm_fused_decode(p, cfg, 16, f, fl, dlm,
+                                            tok2lm, topn=20)
+
+        def lm1p_dispatch():
+            res = lm1p_pipe(params, wavs_fd, lens_fd, dlm, tok2lm_d)
+            try:
+                res.fin_count.copy_to_host_async()
+            except AttributeError:
+                pass
+            return res
+
+        def lm1p_finalize(res):
+            nb = lm_fused.nbest_lists(beam.compact_nbest(res))
+            assert len(nb) == BIG
+
+        def lm1p_trial():
+            return _time_pipelined(lm1p_dispatch, lm1p_finalize,
+                                   min_secs=0.2 if smoke else 5.0)
+        add_row("batched_bw16_lm1p_fused", BIG, 16,
+                float(lens_f.sum()) / SR, lm1p_trial, trials=1)
+
     # informational: the opt-in bf16 compute path (ASR compute_dtype;
     # score arithmetic stays f32 inside decode/ — not a parity config)
     bf16_params = jax.tree_util.tree_map(
