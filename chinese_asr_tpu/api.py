@@ -1,11 +1,14 @@
 """Public API / CLI (reference main.py).
 
 ``ASR`` mirrors the reference service class (main.py:68-102) and its
-three-mode contract (README.md:4-11):
+three-mode contract (README.md:4-11), plus a fourth TPU-native mode:
 
   1. greedy                 ASR(ckpt)                      bw in (None, 0, 1)
   2. beam search            ASR(ckpt, bw=4/8/16)
   3. beam + LM second pass  ASR(ckpt, lm_path=..., bw>1)   rescore n-best
+  4. fused on-device-LM 1st pass  ASR(..., lm_mode="first")  the LM (ARPA
+     or .klm) drives token selection inside one jitted loop — no
+     per-step host syncs (decode/lm_fused.py, PERF.md)
 
 The parse pipeline (main.py:27-65) becomes: [optional ffmpeg transcode] ->
 wav read + peak normalize (in-process ``sox --norm=-1``) -> device-side
@@ -29,6 +32,7 @@ from .config import Config
 from .data import audio_io
 from .decode import beam as beam_mod
 from .decode import greedy as greedy_mod
+from .decode import lm_fused as lm_fused_mod
 from .lm import ngram
 from .models import las
 from .utils.checkpoint import load_checkpoint
@@ -56,7 +60,9 @@ class ASR:
                  compute_dtype: str = "float32",
                  wire: str = "flat",
                  flat_pow2: bool = False,
-                 mesh=None):
+                 mesh=None,
+                 lm_mode: str = "second",
+                 lm_topn: int = 20):
         """``wire`` picks the host->device wav upload format (the offline
         batch path is upload-bound through the device tunnel, PERF.md):
         "flat" (default) ships exactly sum(lens) PCM16 samples and expands
@@ -79,14 +85,25 @@ class ASR:
         embedding/projection vocab dim across the model axis, and batch
         chunks are padded up to a multiple of the data-axis size."""
         assert wire in ("flat", "mulaw", "adpcm", "padded"), wire
+        assert lm_mode in ("second", "first"), lm_mode
         self.cfg = cfg or Config()
         self.bw = bw
         self.wav_bucket = wav_bucket
         self.wire = wire
         self.flat_pow2 = flat_pow2
         self.compute_dtype = jnp.dtype(compute_dtype)
-        # LM only loads for beam widths > 1 (main.py:78-84)
-        self.lm = ngram.load_lm(lm_path) if (lm_path and bw and bw > 1) else None
+        # LM only loads for beam widths > 1 (main.py:78-84).  lm_mode
+        # "second" (default): host C++ n-best rescore (reference
+        # model.py:755).  "first": the fused ON-DEVICE first-pass decode
+        # (decode/lm_fused.py) — the n-gram tables live in HBM and the
+        # LM drives token selection inside one jitted loop (reference
+        # eval_with_lm, model.py:989-1360, re-designed TPU-first).
+        self.lm_mode = lm_mode
+        self.lm_topn = lm_topn
+        use_lm = bool(lm_path and bw and bw > 1)
+        self.lm = ngram.load_lm(lm_path) if (use_lm and lm_mode == "second") \
+            else None
+        self.dlm = self.tok2lm = None
 
         if isinstance(vocab, str):
             self.vocab = Vocab.load(vocab)
@@ -94,6 +111,11 @@ class ASR:
             self.vocab = vocab
         else:
             self.vocab = _identity_vocab(self.cfg.vocab.vocab_size)
+
+        if use_lm and lm_mode == "first":
+            from .lm.device_ngram import DeviceNgramLM
+            self.dlm = DeviceNgramLM.from_path(lm_path)
+            self.tok2lm = jnp.asarray(self.dlm.token_id_table(self.vocab))
 
         if ckpt_path is None:
             self.params = las.init_params(jax.random.PRNGKey(0), self.cfg)
@@ -146,6 +168,11 @@ class ASR:
             elif kind == "beam_best":
                 fn = sharding.make_sharded_beam_best(self.cfg, self.bw,
                                                      self.params, self.mesh)
+            elif kind == "lm_fused":
+                fn = sharding.make_sharded_lm_fused(self.cfg, self.bw,
+                                                    self.params, self.mesh,
+                                                    self.dlm,
+                                                    topn=self.lm_topn)
             else:
                 fn = sharding.make_sharded_beam(self.cfg, self.bw,
                                                 self.params, self.mesh)
@@ -384,6 +411,15 @@ class ASR:
             if not self.bw or self.bw <= 1:
                 return self._sharded_fn("greedy")(self.params, feats,
                                                   feat_lens)
+            if self.dlm is not None:
+                res = self._sharded_fn("lm_fused")(self.params, feats,
+                                                   feat_lens, self.dlm,
+                                                   self.tok2lm)
+                try:
+                    res.fin_count.copy_to_host_async()
+                except AttributeError:
+                    pass
+                return res
             if self.lm is None:
                 return self._sharded_fn("beam_best")(self.params, feats,
                                                      feat_lens)
@@ -396,6 +432,15 @@ class ASR:
         if not self.bw or self.bw <= 1:
             return greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                 feats, feat_lens)
+        if self.dlm is not None:
+            res = lm_fused_mod.lm_fused_decode_jit(
+                self.params, self.cfg, self.bw, feats, feat_lens,
+                self.dlm, self.tok2lm, self.lm_topn)
+            try:
+                res.fin_count.copy_to_host_async()
+            except AttributeError:
+                pass
+            return res
         if self.lm is None:
             # no second pass -> best hypothesis is selected ON DEVICE and
             # only [B, max_len] rows cross the host boundary (the n-best
@@ -417,6 +462,11 @@ class ASR:
     def _decode_finalize(self, res) -> List[str]:
         if not self.bw or self.bw <= 1:
             return greedy_mod.finalize_greedy(res, self.vocab).pred_text
+        if self.dlm is not None:
+            # fused first pass: compact on device, best finished (or the
+            # live-beam fallback) per sample — the host loop's contract
+            nbest = lm_fused_mod.nbest_lists(beam_mod.compact_nbest(res))
+            return [self.vocab.decode(h[0][0]) for h in nbest]
         if self.lm is None:
             return beam_mod.finalize_best(res, self.vocab).pred_text
         # compact the n-best buffers on device first: only the finite
@@ -518,7 +568,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--ckpt", default=None, help="checkpoint path "
                     "(framework .ckpt or reference torch .ckpt)")
     ap.add_argument("--vocab", default=None, help="dict.pkl path")
-    ap.add_argument("--lm", default=None, help="ARPA n-gram LM path")
+    ap.add_argument("--lm", default=None, help="n-gram LM path "
+                    "(ARPA text or KenLM binary .klm)")
+    ap.add_argument("--lm-mode", default="second",
+                    choices=("second", "first"),
+                    help="second: host C++ n-best rescore; first: fused "
+                         "on-device-LM first-pass decode (lm_fused.py)")
     ap.add_argument("--bw", type=int, default=None, help="beam width")
     ap.add_argument("--transcode", action="store_true",
                     help="force ffmpeg ingest")
@@ -534,7 +589,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         ap.error("nothing to do: pass --wav and/or --serve/--serve-http")
 
     asr = ASR(ckpt_path=args.ckpt, lm_path=args.lm, bw=args.bw,
-              vocab=args.vocab)
+              vocab=args.vocab, lm_mode=args.lm_mode)
     for path, text in zip(args.wav,
                           asr.transcribe_files(args.wav, args.transcode)):
         print(f"{path}\t{text}")

@@ -391,3 +391,38 @@ def test_transcribe_bytes_wav(tmp_path):
     asr = ASR(cfg=SMALL, bw=2, vocab=_identity_vocab(SMALL.vocab.vocab_size),
               wav_bucket=1600)
     assert asr.transcribe_bytes(data) == asr(str(p))
+
+
+def test_asr_lm_first_mode(tmp_path, corpus):
+    """Mode 4: ASR(lm_mode="first") runs the fused on-device-LM decode
+    through the full file->transcript product path, for both an ARPA
+    text LM and a .klm binary, deterministically."""
+    mpath, _ = corpus
+    utts = dataset.read_manifest(mpath)
+    from chinese_asr_tpu.api import ASR, _identity_vocab
+    from chinese_asr_tpu.lm import ngram
+
+    # unigram LM over the identity-vocab markers so every token scores
+    vocab = _identity_vocab(SMALL.vocab.vocab_size)
+    words = [vocab.int2word[i] for i in range(4, SMALL.vocab.vocab_size)]
+    lines = (["\\data\\", f"ngram 1={len(words) + 3}", "", "\\1-grams:",
+              "-2.5\t<unk>", "-2.0\t<s>", "-0.9\t</s>"]
+             + [f"{-0.5 - 0.05 * i}\t{w}" for i, w in enumerate(words)]
+             + ["", "\\end\\", ""])
+    arpa = tmp_path / "first.arpa"
+    arpa.write_text("\n".join(lines))
+
+    asr = ASR(cfg=SMALL, bw=3, lm_path=str(arpa), lm_mode="first",
+              wav_bucket=4800)
+    assert asr.dlm is not None and asr.lm is None
+    t1 = asr(utts[0].path)
+    t2 = asr(utts[0].path)
+    assert isinstance(t1, str) and t1 == t2
+
+    # same LM as a probing .klm binary -> same transcript
+    blob = str(tmp_path / "first.klm")
+    ngram.NgramLM(str(arpa)).write_binary(blob)
+    asr_k = ASR(cfg=SMALL, bw=3, lm_path=blob, lm_mode="first",
+                wav_bucket=4800)
+    assert asr_k.dlm is not None and asr_k.dlm.hashed
+    assert asr_k(utts[0].path) == t1
