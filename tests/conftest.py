@@ -119,6 +119,7 @@ _SLOW = {
         "test_asr_api_mesh_with_second_pass",
         "test_sharded_beam_matches_single_device",
         "test_sharded_lm_fused_matches_single_device",
+        "test_asr_api_mesh_lm_first_pass",
     },
     "test_train.py": {
         "test_train_remat_matches_no_remat",

@@ -226,3 +226,31 @@ def test_sharded_lm_fused_matches_single_device(tmp_path):
     np.testing.assert_allclose(np.asarray(r1.fin_scores),
                                np.asarray(r2.fin_scores),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_asr_api_mesh_lm_first_pass(tmp_path):
+    """Mesh serving through the FUSED on-device-LM first pass: same
+    transcripts as the single-device ASR in the same mode, including a
+    batch size that needs data-axis padding."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lm_binary import ARPA_TRI
+
+    from chinese_asr_tpu.api import ASR, _identity_vocab
+
+    arpa = tmp_path / "t.arpa"
+    arpa.write_text(ARPA_TRI, encoding="utf-8")
+    cfg = mesh_cfg()
+    mesh = sharding.make_mesh(cfg)
+    rng = np.random.RandomState(2)
+    wavs = [(rng.randn(n) * 6000).clip(-32768, 32767).astype(np.int16)
+            for n in (1500, 900, 1900, 700, 1200)]
+    kw = dict(cfg=cfg, bw=2, lm_path=str(arpa), lm_mode="first",
+              lm_topn=6, wav_bucket=800,
+              vocab=_identity_vocab(cfg.vocab.vocab_size))
+    a1 = ASR(**kw)
+    am = ASR(**kw, mesh=mesh)
+    assert a1.dlm is not None and am.dlm is not None
+    t1 = a1.transcribe_wavs(wavs)
+    tm = am.transcribe_wavs(wavs)
+    assert tm == t1
