@@ -43,10 +43,17 @@ from .beam import BeamResult
 
 def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
                     dlm: device_ngram.DeviceNgramLM, tok2lm,
-                    topn: int = 20, use_pallas: bool = False) -> BeamResult:
+                    topn: int = 20, use_pallas: bool = False,
+                    legacy_select: bool = False) -> BeamResult:
     """tok2lm: [V] int32 device array mapping vocab token id -> LM word
     id (``dlm.token_id_table(vocab)``), the same table the host loop
-    uses."""
+    uses.
+
+    ``legacy_select`` keeps the round-4 first-cut step body (lexsort
+    pool ordering, per-field survivor gathers, and a fresh chosen-token
+    LM rescore) for in-process A/Bs — see ``tools/lm_fused_ab.py``.  The
+    default body is equivalent output-for-output (see the inline proofs)
+    and measured faster on v5e (PERF.md)."""
     B = feats.shape[0]
     k = bw
     V = cfg.vocab.vocab_size
@@ -56,6 +63,7 @@ def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
     eos = cfg.vocab.eos
     dcfg, acfg = cfg.decoder, cfg.attention
     assert topn >= k, "strict host parity needs topn >= bw (see docstring)"
+    assert topn >= 2, "topn=1 can dead-end every candidate row (all-eos)"
 
     eb = las.encode(params, cfg, feats, feat_lens)
     ctx_w = dec_ops.attn_hidden_width(acfg, eb.values.shape[-1])
@@ -105,13 +113,27 @@ def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
             s["attn_hidden"])
 
         # acoustic PROPOSALS only (the host loop's _make_step): top-topn
-        # tokens per beam row; the LM alone scores the pool
-        logit = out.logit.astype(jnp.float32) / dcfg.temperature
+        # tokens per beam row; the LM alone scores the pool.  Only the
+        # INDICES are consumed, and top-k order is invariant under the
+        # positive 1/temperature scale, so the reworked body skips the
+        # divide (one fewer full [B*k, V] elementwise pass per step).
+        logit = out.logit.astype(jnp.float32)
+        if legacy_select:
+            logit = logit / dcfg.temperature
         if use_pallas:
             _, top_toks = pallas_topk.top_k(logit, topn)
         else:
             _, top_toks = jax.lax.top_k(logit, topn)
         top_toks = top_toks.astype(jnp.int32)               # [B*k, topn]
+        if not legacy_select:
+            # ascending token id within each beam row: the pool's flat
+            # index order then EQUALS (beam*V + token) asc — beam-major
+            # layout, tokens unique and ascending within a beam — so the
+            # plain top_k below (ties -> lower index) reproduces the
+            # host's (score desc, beam*V+token asc) candidate order with
+            # no lexsort.  Sorting before the LM probe also means no
+            # realignment gather: base is computed on the sorted tokens.
+            top_toks = jnp.sort(top_toks, axis=1)
 
         base = device_ngram.score_candidates(dlm, s["lm_ctx"],
                                              tok2lm[top_toks])
@@ -122,12 +144,17 @@ def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
         pool_tok = top_toks.reshape(B, pool_w)
         # step 0: all beams identical -> only beam 0's topn are real
         pool_sc = jnp.where((l == 0) & (pool_pos >= topn), -jnp.inf, pool_sc)
-        pool_col = pool_beam * V + pool_tok
-        order = jnp.lexsort((pool_col, -pool_sc), axis=-1)[:, :cand]
-        cand_scores = jnp.take_along_axis(pool_sc, order, axis=1)
-        cand_beams = jnp.take_along_axis(
-            jnp.broadcast_to(pool_beam, pool_sc.shape), order, axis=1)
-        cand_toks = jnp.take_along_axis(pool_tok, order, axis=1)
+        if legacy_select:
+            pool_col = pool_beam * V + pool_tok
+            order = jnp.lexsort((pool_col, -pool_sc), axis=-1)[:, :cand]
+            cand_scores = jnp.take_along_axis(pool_sc, order, axis=1)
+            cand_beams = jnp.take_along_axis(
+                jnp.broadcast_to(pool_beam, pool_sc.shape), order, axis=1)
+            cand_toks = jnp.take_along_axis(pool_tok, order, axis=1)
+        else:
+            cand_scores, i2 = jax.lax.top_k(pool_sc, cand)  # [B, 2k]
+            cand_beams = (i2 // topn).astype(jnp.int32)
+            cand_toks = jnp.take_along_axis(pool_tok, i2, axis=1)
 
         # ---- harvest finished among the top-k candidates ---------------
         top_beams = cand_beams[:, :k]
@@ -148,19 +175,50 @@ def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
         new_done = jnp.all(has_finished)
         l_final = jnp.where(new_done & ~s["done"], l, s["l_final"])
 
-        # ---- survivors: first k non-eos IN CANDIDATE ORDER, duplicate
-        # the last live one when fewer than k, (beam 0, unk) when none --
+        # ---- survivors: first k non-eos IN CANDIDATE ORDER ---------------
+        # The host loop additionally duplicates the last live candidate
+        # when fewer than k are non-eos and pads (beam 0, unk) when none
+        # are — both provably unreachable here: at l>0 each beam's topn
+        # proposals are distinct tokens, so the 2k candidates hold at
+        # most k eos (>= k live); at l==0 the finite slice is beam 0's
+        # topn list (<= 1 eos) and the picked -inf pads span at most one
+        # extra beam copy of it (2k-topn <= topn), so live >= 2k-2 >= k
+        # for k >= 2, and >= 1 for k == 1 given topn >= 2 (asserted).
+        # The legacy body kept the host's fallbacks; tests pin equality.
         is_eos = cand_toks == eos
-        nlive = jnp.minimum((~is_eos).sum(axis=1), k)       # [B]
-        ordr = jnp.argsort(is_eos, axis=1, stable=True)     # non-eos first
-        pos = jnp.minimum(jnp.arange(k, dtype=jnp.int32)[None, :],
-                          jnp.maximum(nlive - 1, 0)[:, None])
-        pick = jnp.take_along_axis(ordr, pos, axis=1)       # [B, k]
-        k_beams = jnp.take_along_axis(cand_beams, pick, axis=1)
-        k_toks = jnp.take_along_axis(cand_toks, pick, axis=1)
-        dead = (nlive == 0)[:, None]
-        k_beams = jnp.where(dead, 0, k_beams)
-        k_toks = jnp.where(dead, cfg.vocab.unk, k_toks)
+        if legacy_select:
+            nlive = jnp.minimum((~is_eos).sum(axis=1), k)   # [B]
+            ordr = jnp.argsort(is_eos, axis=1, stable=True)  # non-eos first
+            pos = jnp.minimum(jnp.arange(k, dtype=jnp.int32)[None, :],
+                              jnp.maximum(nlive - 1, 0)[:, None])
+            pick = jnp.take_along_axis(ordr, pos, axis=1)   # [B, k]
+            k_beams = jnp.take_along_axis(cand_beams, pick, axis=1)
+            k_toks = jnp.take_along_axis(cand_toks, pick, axis=1)
+            dead = (nlive == 0)[:, None]
+            k_beams = jnp.where(dead, 0, k_beams)
+            k_toks = jnp.where(dead, cfg.vocab.unk, k_toks)
+            new_cum = None                                  # rescored below
+        else:
+            # beam.py's rank trick + ONE packed gather: non-eos candidates
+            # rank by position, eos candidates are pushed past the end, so
+            # the k smallest ranks are the first k non-eos in candidate
+            # order; beams/tokens/scores ride a single [B, 3, 2k] gather
+            # (f32 bitcast to i32 — gathers preserve bits)
+            rank = (jnp.arange(cand, dtype=jnp.int32)[None, :]
+                    + is_eos.astype(jnp.int32) * cand)      # [B, 2k]
+            _, pick = jax.lax.top_k(-rank, k)               # smallest k
+            packed = jnp.stack(
+                [cand_beams, cand_toks,
+                 jax.lax.bitcast_convert_type(cand_scores, jnp.int32)],
+                axis=1)
+            sel = jnp.take_along_axis(packed, pick[:, None, :], axis=2)
+            k_beams, k_toks = sel[:, 0], sel[:, 1]
+            # the chosen candidate's pool score IS the host's update
+            # cum[sel] + base(chosen | ctx[sel]) — same two f32 addends,
+            # so gathering it replaces the legacy body's per-step [B*k,1]
+            # LM rescore bit-for-bit (the rescore was the single largest
+            # component of the fused step, tools/lm_fused_profile.py)
+            new_cum = jax.lax.bitcast_convert_type(sel[:, 2], jnp.float32)
 
         sel_oh = jax.nn.one_hot(k_beams, k, dtype=jnp.float32)
 
@@ -181,12 +239,16 @@ def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
         hist = jax.lax.dynamic_update_index_in_dim(
             hist, k_toks.reshape(-1), l + 1, axis=1)
         lm_ctx = reorder_i32(s["lm_ctx"])
-        # exactly the host update: cum = cum[sel] + base(chosen | ctx[sel])
-        # (recomputed, so dead-row unk pads score like the host's)
         chosen_lm = tok2lm[k_toks.reshape(-1)]
-        cum = (reorder(s["cum"][:, None].astype(jnp.float32))[:, 0]
-               + device_ngram.score_candidates(
-                   dlm, lm_ctx, chosen_lm[:, None])[:, 0])
+        if legacy_select:
+            # exactly the host update: cum = cum[sel] + base(chosen |
+            # ctx[sel]) (recomputed, so dead-row unk pads score like the
+            # host's)
+            cum = (reorder(s["cum"][:, None].astype(jnp.float32))[:, 0]
+                   + device_ngram.score_candidates(
+                       dlm, lm_ctx, chosen_lm[:, None])[:, 0])
+        else:
+            cum = new_cum.reshape(-1)
         lm_ctx = device_ngram.advance_context(lm_ctx, chosen_lm)
         cell_state = [tuple(reorder(e) for e in st) if isinstance(st, tuple)
                       else reorder(st) for st in out.cell_state]
@@ -222,16 +284,19 @@ def lm_fused_decode(params, cfg: Config, bw: int, feats, feat_lens,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(cfg: Config, bw: int, topn: int, use_pallas: bool, variant=None):
+def _jitted(cfg: Config, bw: int, topn: int, use_pallas: bool, variant=None,
+            legacy_select: bool = False):
     return jax.jit(functools.partial(lm_fused_decode, cfg=cfg, bw=bw,
-                                     topn=topn, use_pallas=use_pallas))
+                                     topn=topn, use_pallas=use_pallas,
+                                     legacy_select=legacy_select))
 
 
 def lm_fused_decode_jit(params, cfg: Config, bw: int, feats, feat_lens,
-                        dlm, tok2lm, topn: int = 20) -> BeamResult:
+                        dlm, tok2lm, topn: int = 20,
+                        legacy_select: bool = False) -> BeamResult:
     return _jitted(cfg, bw, topn, pallas_topk.use_pallas_topk(),
                    (pallas_topk.use_grouped_topk(),
-                    pallas_topk.use_onepass_topk()))(
+                    pallas_topk.use_onepass_topk()), legacy_select)(
         params, feats=feats, feat_lens=feat_lens, dlm=dlm, tok2lm=tok2lm)
 
 

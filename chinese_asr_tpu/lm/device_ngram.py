@@ -78,6 +78,16 @@ def _hash_jnp(keys: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+# Probe-count targeting: every extra probe slot is P*k more elements in
+# the hot gather of `_lookup` ([Q, C, P, k] random accesses — the trace
+# of the fused decode put these gathers at ~60% of the loop), so growing
+# a table to shave probes trades cheap HBM for hot-loop time.  Bounds:
+# at most 2 doublings past load 0.5, and never past _MEM_CAP bytes per
+# level (production LMs carry tens of millions of n-grams).
+_TARGET_PROBES = 4
+_MEM_CAP = 512 << 20
+
+
 def _build_table(keys: np.ndarray, vals: np.ndarray):
     """Host-side linear-probing build, vectorized (production LMs carry
     tens of millions of n-grams; a per-entry Python loop costs minutes).
@@ -94,7 +104,21 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
     keys [n, k] int32 (unique rows), vals [n, 2] f32 ->
     (ids [cap, k], vals [cap, 2], probes)."""
     n, k = keys.shape
-    cap = 1 << max(3, int(np.ceil(np.log2(max(2 * n, 1) + 1))))
+    cap0 = 1 << max(3, int(np.ceil(np.log2(max(2 * n, 1) + 1))))
+    best = None
+    cap = cap0
+    while True:
+        built = _build_table_at(keys, vals, cap)
+        if best is None or built[2] < best[2]:
+            best = built
+        if (built[2] <= _TARGET_PROBES or cap >= cap0 * 4
+                or cap * (k + 2) * 4 * 2 > _MEM_CAP):
+            return best
+        cap *= 2
+
+
+def _build_table_at(keys: np.ndarray, vals: np.ndarray, cap: int):
+    n, k = keys.shape
     ids = np.full((cap, k), -1, np.int32)
     tv = np.zeros((cap, 2), np.float32)
     if n == 0:
@@ -125,6 +149,21 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
             if d > max_disp:
                 max_disp = d
     return ids, tv, max_disp + 1
+
+
+def _build_dense_uni(keys1: np.ndarray, vals: np.ndarray):
+    """Dense [max_id+1, 2] f32 unigram table (logp, backoff); absent ids
+    hold logp=NaN (no real logp is NaN, so presence tests as ~isnan).
+    Level-1 keys are plain word ids in BOTH layouts, and word ids are
+    small and near-contiguous (ARPA enumeration order / kenlm vocab
+    ids), so a direct index replaces the probe gather — the fused
+    decode's trace put the 7-probe unigram ids gather alone at ~30% of
+    the whole loop."""
+    capu = int(keys1.max()) + 1 if keys1.size else 1
+    uni = np.full((capu, 2), np.nan, np.float32)
+    uni[keys1, 0] = vals[:, 0]
+    uni[keys1, 1] = vals[:, 1]
+    return uni
 
 
 # kenlm's CombineWordHash constants (lm/search_hashed.hh), split into
@@ -186,7 +225,8 @@ class DeviceNgramLM:
       the same collision model kenlm's own probing tables accept."""
 
     def __init__(self, order: int, ids, vals, probes, unk_id: int,
-                 word2id: Dict[str, int] = None, hashed: bool = False):
+                 word2id: Dict[str, int] = None, hashed: bool = False,
+                 uni=None):
         self.order = order
         self.ids = tuple(ids)       # ids[k][cap_k, kcols] for level k+1
         self.vals = tuple(vals)     # vals[k][cap_k, 2] (log10 p, backoff)
@@ -194,6 +234,7 @@ class DeviceNgramLM:
         self.unk_id = unk_id
         self.word2id = word2id
         self.hashed = hashed
+        self.uni = uni              # dense [max_id+1, 2], NaN = absent
         self._host_lm = None        # set by from_lm (host-only)
         self._bos_id = None if word2id is None else \
             word2id.get("<s>", unk_id)
@@ -217,6 +258,7 @@ class DeviceNgramLM:
                 per_order[len(key) - 1].append(
                     ([word2id[w] for w in key], (logp, bo)))
         ids, vals, probes = [], [], []
+        uni = None
         for k in range(order):
             rows = per_order[k]
             if rows:
@@ -229,7 +271,10 @@ class DeviceNgramLM:
             ids.append(jnp.asarray(i))
             vals.append(jnp.asarray(v))
             probes.append(p)
-        return cls(order, ids, vals, probes, word2id["<unk>"], word2id)
+            if k == 0:
+                uni = jnp.asarray(_build_dense_uni(keys_np[:, 0], vals_np))
+        return cls(order, ids, vals, probes, word2id["<unk>"], word2id,
+                   uni=uni)
 
     @classmethod
     def from_lm(cls, lm) -> "DeviceNgramLM":
@@ -242,6 +287,7 @@ class DeviceNgramLM:
         same hash chain instead)."""
         order = lm.order
         ids, vals, probes = [], [], []
+        uni = None
         for k in range(1, order + 1):
             hi, lo, prob, bo = lm.dump_order(k)
             if k == 1:
@@ -256,8 +302,11 @@ class DeviceNgramLM:
             ids.append(jnp.asarray(i))
             vals.append(jnp.asarray(v))
             probes.append(p)
+            if k == 1:
+                uni = jnp.asarray(_build_dense_uni(keys[:, 0], vals_np))
         unk_id = int(lm.word_ids(["<unk>"])[0])
-        obj = cls(order, ids, vals, probes, unk_id, None, hashed=True)
+        obj = cls(order, ids, vals, probes, unk_id, None, hashed=True,
+                  uni=uni)
         obj._host_lm = lm
         obj._bos_id = int(lm.word_ids(["<s>"])[0])
         return obj
@@ -298,14 +347,15 @@ class DeviceNgramLM:
 
 
 def _tree_flatten(lm: DeviceNgramLM):
-    return (lm.ids, lm.vals), (lm.order, lm.probes, lm.unk_id, lm.hashed)
+    return ((lm.ids, lm.vals, lm.uni),
+            (lm.order, lm.probes, lm.unk_id, lm.hashed))
 
 
 def _tree_unflatten(aux, children):
     order, probes, unk_id, hashed = aux
-    ids, vals = children
+    ids, vals, uni = children
     return DeviceNgramLM(order, ids, vals, probes, unk_id, None,
-                         hashed=hashed)
+                         hashed=hashed, uni=uni)
 
 
 jax.tree_util.register_pytree_node(DeviceNgramLM, _tree_flatten,
@@ -323,9 +373,30 @@ def _lookup(ids, vals, probes: int, keys):
     hit_p = jnp.all(cand == keys[..., None, :], axis=-1)  # [..., P]
     hit = jnp.any(hit_p, axis=-1)
     idx = jnp.argmax(hit_p, axis=-1)                     # first hit slot
-    slot = jnp.take_along_axis(slots, idx[..., None], axis=-1)[..., 0]
+    # slots is an iota off the home slot, so the hit slot is computed,
+    # not gathered: take_along_axis here was a [Q*C]-element gather the
+    # fused-decode trace priced at ~0.4 ms/step per level
+    slot = (h.astype(jnp.int32) + idx) & (cap - 1)
     v = vals[slot]                                       # [..., 2]
     return hit, v[..., 0], v[..., 1]
+
+
+def _lookup_uni(uni, key1):
+    """Dense level-1 lookup.  key1 [...] int32 word ids (may be -1 /
+    out-of-range) -> (hit, logp, backoff); absent slots hold NaN logp
+    (see `_build_dense_uni`)."""
+    capu = uni.shape[0]
+    v = uni[jnp.clip(key1, 0, capu - 1)]                 # [..., 2]
+    hit = (key1 >= 0) & (key1 < capu) & ~jnp.isnan(v[..., 0])
+    return hit, v[..., 0], jnp.where(hit, v[..., 1], 0.0)
+
+
+def _lookup_level(lm: "DeviceNgramLM", k: int, keys):
+    """Level-k (0-based) lookup; level 0 takes the dense path when the
+    LM carries one (old pickled/constructed tables may not)."""
+    if k == 0 and lm.uni is not None:
+        return _lookup_uni(lm.uni, keys[..., 0])
+    return _lookup(lm.ids[k], lm.vals[k], lm.probes[k], keys)
 
 
 def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
@@ -370,15 +441,13 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
                     [_u32_to_i32(c_hi), _u32_to_i32(c_lo)], axis=-1))
         bo_hit, bo_val = [], []
         for k in range(1, M):
-            h, _lp, bo = _lookup(lm.ids[k - 1], lm.vals[k - 1],
-                                 lm.probes[k - 1], ctx_keys[k])
+            h, _lp, bo = _lookup_level(lm, k - 1, ctx_keys[k])
             h = h & valid[k]
             bo_hit.append(h)
             bo_val.append(jnp.where(h, bo, 0.0))
         gram = []
         for k in range(M):
-            h, lp, bo = _lookup(lm.ids[k], lm.vals[k], lm.probes[k],
-                                gram_keys[k])
+            h, lp, bo = _lookup_level(lm, k, gram_keys[k])
             if k > 0:
                 h = h & valid[k][..., None]
             gram.append((h, lp, bo))
@@ -387,8 +456,7 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
         # uses the last k context words
         bo_hit, bo_val = [], []
         for k in range(1, M):
-            h, _lp, bo = _lookup(lm.ids[k - 1], lm.vals[k - 1],
-                                 lm.probes[k - 1], ctx_ids[..., M - 1 - k:])
+            h, _lp, bo = _lookup_level(lm, k - 1, ctx_ids[..., M - 1 - k:])
             bo_hit.append(h)
             bo_val.append(jnp.where(h, bo, 0.0))
         # gram lookups: level k keys = (last k context words, candidate)
@@ -400,7 +468,7 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
                 ctx_k = jnp.broadcast_to(ctx_ids[..., None, M - 1 - k:],
                                          (*cand_ids.shape, k))
                 keys = jnp.concatenate([ctx_k, cand_ids[..., None]], axis=-1)
-            gram.append(_lookup(lm.ids[k], lm.vals[k], lm.probes[k], keys))
+            gram.append(_lookup_level(lm, k, keys))
     # longest hitting level wins; add the backoffs of every existing
     # context LONGER than the match (the host scorers' shrinking loop)
     S = jnp.zeros(cand_ids.shape, jnp.float32)

@@ -230,22 +230,42 @@ def _extract_grouped(key, col, k: int, Vp: int, levels: int,
         _extract_desc(key, col, k, Vp, vals_ref, idx_ref)
 
 
+def _row_block(Vp: int) -> int:
+    """Rows per VMEM block.  The kernel materializes ~3 f32 copies of
+    the [BR, Vp] block (x, key, col iota); v5e's scoped-vmem budget is
+    ~16 MB, so a 128-row block overflows once Vp passes ~8k (observed:
+    a [128, 80128] call asked Mosaic for an 82 MB stack frame and
+    failed the compile).  Shrink the row block until ~3 copies fit in
+    12 MB; return 0 when even 8 rows don't (caller falls back to
+    lax.top_k — same values, same tie order)."""
+    if Vp <= 8192:
+        return 128
+    BR = 64
+    while BR > 8 and BR * Vp * 12 > 12 * 2**20:
+        BR //= 2
+    return 0 if BR * Vp * 12 > 12 * 2**20 else BR
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _top_k_impl(x, k: int, interpret: bool, grouped: bool = False,
                 onepass: bool = False):
     R, V = x.shape
     Vp = -(-V // 128) * 128
+    BR = _row_block(Vp)
+    if BR == 0:
+        vals, idx = jax.lax.top_k(x, k)
+        return vals, idx.astype(jnp.int32)
     if V < Vp:
         x = jnp.pad(x, ((0, 0), (0, Vp - V)), constant_values=NEG_INF)
     # Row blocking: a single whole-array block at arbitrary R (e.g. the
     # tail chunk of a >max_batch transcription, R = B*bw) can exceed VMEM
     # (704 x 5120 f32 ~ 14 MB + temporaries).  Pad R up to a multiple of
-    # 128 and slice the outputs; rows <= 128 stay one un-padded block.
+    # BR and slice the outputs; rows <= BR stay one un-padded block.
     Rp = R
-    if R > 128 and R % 128 != 0:
-        Rp = -(-R // 128) * 128
+    if R > BR and R % BR != 0:
+        Rp = -(-R // BR) * BR
         x = jnp.pad(x, ((0, Rp - R), (0, 0)), constant_values=NEG_INF)
-    BR = 128 if Rp % 128 == 0 else Rp
+    BR = BR if Rp % BR == 0 else Rp
     grid = (Rp // BR,)
     # grouped two-level extraction needs >levels rows per interleaved
     # group (so groups can't run dry) and candidates for every pick
@@ -377,14 +397,20 @@ def _top_k_fused_impl(x, bias, k: int, temp: float, interpret: bool,
                       grouped: bool = False, onepass: bool = False):
     R, V = x.shape
     Vp = -(-V // 128) * 128
+    BR = _row_block(Vp)                       # same VMEM guard as top_k
+    if BR == 0:
+        xf = x.astype(jnp.float32) / temp
+        logp = xf - jax.scipy.special.logsumexp(xf, axis=1, keepdims=True)
+        vals, idx = jax.lax.top_k(logp + bias, k)
+        return vals, idx.astype(jnp.int32)
     if V < Vp:
         x = jnp.pad(x, ((0, 0), (0, Vp - V)), constant_values=NEG_INF)
     Rp = R
-    if R > 128 and R % 128 != 0:
-        Rp = -(-R // 128) * 128
+    if R > BR and R % BR != 0:
+        Rp = -(-R // BR) * BR
         x = jnp.pad(x, ((0, Rp - R), (0, 0)), constant_values=NEG_INF)
         bias = jnp.pad(bias, ((0, Rp - R), (0, 0)))
-    BR = 128 if Rp % 128 == 0 else Rp
+    BR = BR if Rp % BR == 0 else Rp
     grid = (Rp // BR,)
     grouped = grouped and Vp // 128 > GROUP_LEVELS and k <= 64
     vals, idx = pl.pallas_call(

@@ -211,3 +211,64 @@ def test_vectorized_build_fuzz():
         h2, _, _ = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
                            jnp.asarray(miss))
         assert not np.asarray(h2)[miss_rows].any(), trial
+
+
+def test_dense_uni_path_matches_probing_fallback(tmp_path):
+    """Level-1 scoring goes through the dense [max_id+1, 2] table (the
+    fused-decode trace priced the old 7-probe unigram gather at ~30% of
+    the loop); a DeviceNgramLM with uni=None (old pickles, hand
+    construction) must fall back to the probing table with identical
+    scores."""
+    rng = np.random.RandomState(23)
+    path, words = _random_arpa(tmp_path, rng, 99)
+    dev = DeviceNgramLM.from_arpa(path)
+    assert dev.uni is not None
+    assert dev.uni.shape[1] == 2
+    Q, C = 6, 5
+    M = dev.order
+    ctx = np.full((Q, max(M - 1, 1)), -1, np.int32)
+    ctx[:, -1] = dev.word_ids([str(rng.choice(words)) for _ in range(Q)])
+    cand = np.stack([dev.word_ids([str(rng.choice(words))
+                                   for _ in range(C)]) for _ in range(Q)])
+    dense = score_candidates(dev, jnp.asarray(ctx),
+                                          jnp.asarray(cand))
+    legacy = DeviceNgramLM(dev.order, dev.ids, dev.vals, dev.probes,
+                           dev.unk_id, dev.word2id, hashed=dev.hashed,
+                           uni=None)
+    probed = score_candidates(legacy, jnp.asarray(ctx),
+                                           jnp.asarray(cand))
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(probed))
+    # absent id (beyond the dense cap) and -1 both resolve like a miss
+    oob = np.full((2, 1), int(dev.uni.shape[0]) + 7, np.int32)
+    oob[1, 0] = -1
+    s_oob = score_candidates(
+        dev, jnp.asarray(np.full((2, max(M - 1, 1)), -1, np.int32)),
+        jnp.asarray(oob))
+    s_ref = score_candidates(
+        legacy, jnp.asarray(np.full((2, max(M - 1, 1)), -1, np.int32)),
+        jnp.asarray(oob))
+    np.testing.assert_array_equal(np.asarray(s_oob), np.asarray(s_ref))
+
+
+def test_build_table_targets_probe_count():
+    """When the initial load-0.5 capacity needs a long probe window the
+    build doubles capacity (bounded at 4x / _MEM_CAP) to shrink it —
+    every gathered probe slot is hot-loop time in the fused decode."""
+    from chinese_asr_tpu.lm.device_ngram import (_TARGET_PROBES,
+                                                 _build_table,
+                                                 _build_table_at, _lookup)
+    rng = np.random.RandomState(31)
+    keys = np.unique(rng.randint(0, 2**31 - 1, size=(60000, 2),
+                                 dtype=np.int32), axis=0)[:40000]
+    vals = rng.randn(len(keys), 2).astype(np.float32)
+    ids, tv, probes = _build_table(keys, vals)
+    base_cap = 1 << int(np.ceil(np.log2(2 * len(keys) + 1)))
+    _, _, probes_base = _build_table_at(keys, vals, base_cap)
+    assert probes <= max(_TARGET_PROBES, probes_base)
+    assert ids.shape[0] <= base_cap * 4
+    if probes_base > _TARGET_PROBES:
+        assert probes < probes_base     # growth actually helped
+    hit, lp, bo = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
+                          jnp.asarray(keys[:500]))
+    assert bool(np.asarray(hit).all())
+    np.testing.assert_array_equal(np.asarray(lp), vals[:500, 0])

@@ -103,6 +103,11 @@ def test_fused_matches_host_on_random_trigrams(tmp_path, seed):
     res = lm_fused.lm_fused_decode(params, cfg, 2, feats, lens, dlm,
                                    tok2lm, topn=6)
     assert_nbest_equal(host, lm_fused.nbest_lists(res))
+    if seed == 0:
+        # the A/B twin (tools/lm_fused_ab.py) must stay host-equal too
+        leg = lm_fused.lm_fused_decode(params, cfg, 2, feats, lens, dlm,
+                                       tok2lm, topn=6, legacy_select=True)
+        assert_nbest_equal(host, lm_fused.nbest_lists(leg))
 
 
 def test_fused_matches_host_wider_beam(tmp_path):

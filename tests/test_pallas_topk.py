@@ -236,3 +236,49 @@ def test_fused_disabled_row_beats_nan():
                                    3, interpret=True)
     assert np.isneginf(np.asarray(v)[0]).all()
     assert (np.asarray(i)[0] == [0, 1, 2]).all()
+
+
+def test_row_block_vmem_guard_choices():
+    """Wide rows shrink the VMEM row block (the kernel holds ~3 f32
+    copies of the [BR, Vp] block); beyond ~128k cols even 8 rows don't
+    fit and the impl hands the call to lax.top_k (BR == 0).  Regression:
+    a [128, 80128] k=33 call asked Mosaic for an 82 MB stack frame and
+    failed the hardware compile (vmem OOM)."""
+    assert pallas_topk._row_block(5120) == 128      # the product shape
+    assert pallas_topk._row_block(8192) == 128
+    assert pallas_topk._row_block(16384) == 64
+    assert pallas_topk._row_block(80128) == 8       # the crash shape
+    assert pallas_topk._row_block(131072) == 8      # last pallas width
+    assert pallas_topk._row_block(131200) == 0      # lax fallback
+
+
+def test_wide_rows_shrink_block_and_match(monkeypatch):
+    """[R, 80064] (the full [B, k*V] flat-beam width) must compile into
+    8-row blocks and stay exactly lax.top_k.  Flat kernel: interpret
+    mode traces the grouped scan's 626 slices too slowly."""
+    monkeypatch.setenv("CHINESE_ASR_TOPK_GROUPED", "0")
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(12, 80064).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, 5)
+    v, i = pallas_topk.top_k(x, 5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_beyond_pallas_width_falls_back_to_lax():
+    """Vp > ~128k: top_k and top_k_fused must return lax-exact results
+    through the fallback branch (no pallas_call at any width)."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(3, 131201).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, 4)
+    v, i = pallas_topk.top_k(x, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    bias = jnp.asarray(rng.randn(3, 1).astype(np.float32))
+    xs = x / 1.3
+    key = xs - jax.scipy.special.logsumexp(xs, axis=1, keepdims=True) + bias
+    v_ref, i_ref = jax.lax.top_k(key, 4)
+    v, i = pallas_topk.top_k_fused(x, bias, 4, 1.3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=2e-6, atol=2e-6)
