@@ -23,11 +23,21 @@ Design notes (TPU-first):
   records the worst displacement D over all inserted keys, so a lookup
   probes exactly P = D+1 slots — if a key exists it sits within D of
   its home slot, hence P probes DECIDE membership with no early-exit
-  control flow (static shapes; XLA unrolls the tiny P loop into
-  gathers).
-- Keys are stored as full id tuples (``ids[cap, k]`` int32) and
-  compared exactly — no 64-bit fingerprinting needed (jax x64 stays
-  off), no false positives.
+  control flow (static shapes).
+- Each level is ONE packed int32 array ``tbl[cap + P - 1, k + 2]``:
+  the k key columns, then logp/backoff bitcast to int32.  The first
+  P-1 rows are re-appended past the end so a probe window never wraps,
+  and a lookup is a single ``lax.gather`` of contiguous ``[P, k+2]``
+  windows — ONE gather descriptor per query.  TPU gathers of tiny rows
+  are descriptor-latency-bound, not bandwidth-bound (the round-4 trace
+  priced the old P-separate-row-fetches + value-gather formulation at
+  ~60% of the fused decode loop), so collapsing P probes + the value
+  fetch into one contiguous window is the whole game.
+- Stored keys are unique, so at most one probe slot can match: the hit
+  row's value is a masked SUM over the window (int32 bit patterns,
+  zero identity) — no argmax, no second gather.
+- Keys are stored as full id tuples and compared exactly — no 64-bit
+  fingerprinting needed (jax x64 stays off), no false positives.
 - Empty slots hold -1, which is also the "absent context" sentinel in
   queries: a query row containing -1 can never equal a stored key, so
   shorter-than-(order-1) histories fall through to lower orders for
@@ -102,7 +112,9 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
     load <= 0.5 that tail is tiny and placed with a short loop.
 
     keys [n, k] int32 (unique rows), vals [n, 2] f32 ->
-    (ids [cap, k], vals [cap, 2], probes)."""
+    (tbl [cap + probes - 1, k + 2] int32 packed, probes).  The packed
+    layout appends the first probes-1 rows after the end so a lookup's
+    probe window is one CONTIGUOUS slice (see `_lookup`)."""
     n, k = keys.shape
     cap0 = 1 << max(3, int(np.ceil(np.log2(max(2 * n, 1) + 1))))
     best = None
@@ -113,8 +125,19 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
             best = built
         if (built[2] <= _TARGET_PROBES or cap >= cap0 * 4
                 or cap * (k + 2) * 4 * 2 > _MEM_CAP):
-            return best
+            ids, tv, probes = best
+            return _pack_table(ids, tv, probes), probes
         cap *= 2
+
+
+def _pack_table(ids: np.ndarray, tv: np.ndarray, probes: int) -> np.ndarray:
+    """[cap, k] keys + [cap, 2] f32 vals -> [cap + probes - 1, k + 2]
+    int32 (vals bitcast), first probes-1 rows appended for wrap-free
+    contiguous probe windows."""
+    tbl = np.concatenate([ids, tv.view(np.int32)], axis=1)
+    if probes > 1:
+        tbl = np.concatenate([tbl, tbl[: probes - 1]], axis=0)
+    return np.ascontiguousarray(tbl)
 
 
 def _build_table_at(keys: np.ndarray, vals: np.ndarray, cap: int):
@@ -210,9 +233,9 @@ def _u32_to_i32(x):
 
 class DeviceNgramLM:
     """Per-order probing hash tables as device arrays (a jax pytree:
-    the tables are leaves; order/capacities/probe counts are static
-    aux data, so the same jitted program serves any model with the
-    same structure).  ``word2id`` is host-only (token mapping happens
+    the packed tables are leaves; order/probe counts are static aux
+    data, so the same jitted program serves any model with the same
+    structure).  ``word2id`` is host-only (token mapping happens
     before jit) and does not survive pytree flattening.
 
     Two key layouts share all machinery:
@@ -224,12 +247,11 @@ class DeviceNgramLM:
       (`_combine_word_hash`).  Exact-compare on the stored 64-bit key —
       the same collision model kenlm's own probing tables accept."""
 
-    def __init__(self, order: int, ids, vals, probes, unk_id: int,
+    def __init__(self, order: int, tbls, probes, unk_id: int,
                  word2id: Dict[str, int] = None, hashed: bool = False,
                  uni=None):
         self.order = order
-        self.ids = tuple(ids)       # ids[k][cap_k, kcols] for level k+1
-        self.vals = tuple(vals)     # vals[k][cap_k, 2] (log10 p, backoff)
+        self.tbls = tuple(tbls)     # tbls[k][cap_k + P_k - 1, kcols + 2]
         self.probes = tuple(probes)
         self.unk_id = unk_id
         self.word2id = word2id
@@ -257,7 +279,7 @@ class DeviceNgramLM:
             if all(w in word2id for w in key):
                 per_order[len(key) - 1].append(
                     ([word2id[w] for w in key], (logp, bo)))
-        ids, vals, probes = [], [], []
+        tbls, probes = [], []
         uni = None
         for k in range(order):
             rows = per_order[k]
@@ -267,13 +289,12 @@ class DeviceNgramLM:
             else:
                 keys_np = np.zeros((0, k + 1), np.int32)
                 vals_np = np.zeros((0, 2), np.float32)
-            i, v, p = _build_table(keys_np, vals_np)
-            ids.append(jnp.asarray(i))
-            vals.append(jnp.asarray(v))
+            t, p = _build_table(keys_np, vals_np)
+            tbls.append(jnp.asarray(t))
             probes.append(p)
             if k == 0:
                 uni = jnp.asarray(_build_dense_uni(keys_np[:, 0], vals_np))
-        return cls(order, ids, vals, probes, word2id["<unk>"], word2id,
+        return cls(order, tbls, probes, word2id["<unk>"], word2id,
                    uni=uni)
 
     @classmethod
@@ -286,7 +307,7 @@ class DeviceNgramLM:
         tuples are unrecoverable there — the device side computes the
         same hash chain instead)."""
         order = lm.order
-        ids, vals, probes = [], [], []
+        tbls, probes = [], []
         uni = None
         for k in range(1, order + 1):
             hi, lo, prob, bo = lm.dump_order(k)
@@ -298,14 +319,13 @@ class DeviceNgramLM:
                 keys = np.stack([hi.view(np.int32), lo.view(np.int32)],
                                 axis=1)
             vals_np = np.stack([prob, bo], axis=1).astype(np.float32)
-            i, v, p = _build_table(np.ascontiguousarray(keys), vals_np)
-            ids.append(jnp.asarray(i))
-            vals.append(jnp.asarray(v))
+            t, p = _build_table(np.ascontiguousarray(keys), vals_np)
+            tbls.append(jnp.asarray(t))
             probes.append(p)
             if k == 1:
                 uni = jnp.asarray(_build_dense_uni(keys[:, 0], vals_np))
         unk_id = int(lm.word_ids(["<unk>"])[0])
-        obj = cls(order, ids, vals, probes, unk_id, None, hashed=True,
+        obj = cls(order, tbls, probes, unk_id, None, hashed=True,
                   uni=uni)
         obj._host_lm = lm
         obj._bos_id = int(lm.word_ids(["<s>"])[0])
@@ -347,14 +367,14 @@ class DeviceNgramLM:
 
 
 def _tree_flatten(lm: DeviceNgramLM):
-    return ((lm.ids, lm.vals, lm.uni),
+    return ((lm.tbls, lm.uni),
             (lm.order, lm.probes, lm.unk_id, lm.hashed))
 
 
 def _tree_unflatten(aux, children):
     order, probes, unk_id, hashed = aux
-    ids, vals, uni = children
-    return DeviceNgramLM(order, ids, vals, probes, unk_id, None,
+    tbls, uni = children
+    return DeviceNgramLM(order, tbls, probes, unk_id, None,
                          hashed=hashed, uni=uni)
 
 
@@ -362,22 +382,36 @@ jax.tree_util.register_pytree_node(DeviceNgramLM, _tree_flatten,
                                    _tree_unflatten)
 
 
-def _lookup(ids, vals, probes: int, keys):
-    """Probe one table.  keys [..., k] int32 ->
-    (hit [...] bool, logp [...] f32, backoff [...] f32)."""
-    cap = ids.shape[0]
-    h = _hash_jnp(keys) & jnp.uint32(cap - 1)
-    slots = (h[..., None].astype(jnp.int32)
-             + jnp.arange(probes, dtype=jnp.int32)) & (cap - 1)  # [..., P]
-    cand = ids[slots]                                    # [..., P, k]
-    hit_p = jnp.all(cand == keys[..., None, :], axis=-1)  # [..., P]
+def _lookup(tbl, probes: int, keys):
+    """Probe one packed table.  tbl [cap + P - 1, k + 2] int32 (key
+    columns then bitcast logp/backoff; see `_pack_table`), keys [..., k]
+    int32 -> (hit [...] bool, logp [...] f32, backoff [...] f32); a
+    miss returns (False, 0.0, 0.0).
+
+    The whole probe window rides ONE lax.gather of contiguous [P, k+2]
+    slices — one descriptor per query.  TPU gathers of tiny rows are
+    descriptor-latency-bound (the round-4 fused-decode trace priced the
+    P-separate-row-fetches + value-gather formulation at ~60% of the
+    loop), so fusing the P probes AND the value fetch into one window
+    is the lever.  Stored keys are unique, hence at most one probe slot
+    matches and the value select is a masked sum (int32 bit patterns,
+    zero identity) — no argmax, no second gather."""
+    k = keys.shape[-1]
+    P = probes
+    cap = tbl.shape[0] - (P - 1)
+    h = (_hash_jnp(keys) & jnp.uint32(cap - 1)).astype(jnp.int32)
+    win = jax.lax.gather(
+        tbl, h.reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(P, k + 2),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(*keys.shape[:-1], P, k + 2)
+    hit_p = jnp.all(win[..., :k] == keys[..., None, :], axis=-1)  # [..., P]
     hit = jnp.any(hit_p, axis=-1)
-    idx = jnp.argmax(hit_p, axis=-1)                     # first hit slot
-    # slots is an iota off the home slot, so the hit slot is computed,
-    # not gathered: take_along_axis here was a [Q*C]-element gather the
-    # fused-decode trace priced at ~0.4 ms/step per level
-    slot = (h.astype(jnp.int32) + idx) & (cap - 1)
-    v = vals[slot]                                       # [..., 2]
+    v = jnp.where(hit_p[..., None], win[..., k:], 0).sum(axis=-2)
+    v = jax.lax.bitcast_convert_type(v, jnp.float32)     # [..., 2]
     return hit, v[..., 0], v[..., 1]
 
 
@@ -393,10 +427,10 @@ def _lookup_uni(uni, key1):
 
 def _lookup_level(lm: "DeviceNgramLM", k: int, keys):
     """Level-k (0-based) lookup; level 0 takes the dense path when the
-    LM carries one (old pickled/constructed tables may not)."""
+    LM carries one (hand-constructed tables may not)."""
     if k == 0 and lm.uni is not None:
         return _lookup_uni(lm.uni, keys[..., 0])
-    return _lookup(lm.ids[k], lm.vals[k], lm.probes[k], keys)
+    return _lookup(lm.tbls[k], lm.probes[k], keys)
 
 
 def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):

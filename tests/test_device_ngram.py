@@ -108,10 +108,10 @@ def test_probe_bound_is_tight_and_lookup_static(tmp_path):
     for key, (logp, _bo) in py.grams.items():
         k = len(key)
         ids = dev.word_ids(list(key))
-        # direct probe of the level-k table
+        # direct probe of the level-k packed table
         from chinese_asr_tpu.lm.device_ngram import _lookup
-        hit, lp, _ = _lookup(dev.ids[k - 1], dev.vals[k - 1],
-                             dev.probes[k - 1], jnp.asarray(ids[None, :]))
+        hit, lp, _ = _lookup(dev.tbls[k - 1], dev.probes[k - 1],
+                             jnp.asarray(ids[None, :]))
         assert bool(hit[0]), key
         assert float(lp[0]) == pytest.approx(logp, abs=1e-6)
 
@@ -198,9 +198,8 @@ def test_vectorized_build_fuzz():
         keys = np.unique(rng.randint(0, 2**31 - 1, size=(n * 2, 2),
                                      dtype=np.int32), axis=0)[:n]
         vals = rng.randn(len(keys), 2).astype(np.float32)
-        ids, tv, probes = _build_table(keys, vals)
-        hit, lp, bo = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
-                              jnp.asarray(keys))
+        tbl, probes = _build_table(keys, vals)
+        hit, lp, bo = _lookup(jnp.asarray(tbl), probes, jnp.asarray(keys))
         assert bool(np.asarray(hit).all()), trial
         np.testing.assert_array_equal(np.asarray(lp), vals[:, 0])
         np.testing.assert_array_equal(np.asarray(bo), vals[:, 1])
@@ -208,8 +207,7 @@ def test_vectorized_build_fuzz():
         miss = keys.copy()
         miss[:, 1] ^= 1
         miss_rows = ~(miss[:, None, :] == keys[None, :, :]).all(-1).any(1)
-        h2, _, _ = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
-                           jnp.asarray(miss))
+        h2, _, _ = _lookup(jnp.asarray(tbl), probes, jnp.asarray(miss))
         assert not np.asarray(h2)[miss_rows].any(), trial
 
 
@@ -232,7 +230,7 @@ def test_dense_uni_path_matches_probing_fallback(tmp_path):
                                    for _ in range(C)]) for _ in range(Q)])
     dense = score_candidates(dev, jnp.asarray(ctx),
                                           jnp.asarray(cand))
-    legacy = DeviceNgramLM(dev.order, dev.ids, dev.vals, dev.probes,
+    legacy = DeviceNgramLM(dev.order, dev.tbls, dev.probes,
                            dev.unk_id, dev.word2id, hashed=dev.hashed,
                            uni=None)
     probed = score_candidates(legacy, jnp.asarray(ctx),
@@ -261,14 +259,13 @@ def test_build_table_targets_probe_count():
     keys = np.unique(rng.randint(0, 2**31 - 1, size=(60000, 2),
                                  dtype=np.int32), axis=0)[:40000]
     vals = rng.randn(len(keys), 2).astype(np.float32)
-    ids, tv, probes = _build_table(keys, vals)
+    tbl, probes = _build_table(keys, vals)
     base_cap = 1 << int(np.ceil(np.log2(2 * len(keys) + 1)))
     _, _, probes_base = _build_table_at(keys, vals, base_cap)
     assert probes <= max(_TARGET_PROBES, probes_base)
-    assert ids.shape[0] <= base_cap * 4
+    assert tbl.shape[0] - (probes - 1) <= base_cap * 4
     if probes_base > _TARGET_PROBES:
         assert probes < probes_base     # growth actually helped
-    hit, lp, bo = _lookup(jnp.asarray(ids), jnp.asarray(tv), probes,
-                          jnp.asarray(keys[:500]))
+    hit, lp, bo = _lookup(jnp.asarray(tbl), probes, jnp.asarray(keys[:500]))
     assert bool(np.asarray(hit).all())
     np.testing.assert_array_equal(np.asarray(lp), vals[:500, 0])

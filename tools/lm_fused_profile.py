@@ -120,7 +120,8 @@ def main():
         dlm = device_ngram.DeviceNgramLM.from_path(arpa)
     tok2lm = jnp.asarray(dlm.token_id_table(vocab))
     print(f"# LM order={dlm.order} hashed={dlm.hashed} probes={dlm.probes} "
-          f"caps={[int(i.shape[0]) for i in dlm.ids]}", flush=True)
+          f"caps={[int(t.shape[0]) - (p - 1) for t, p in zip(dlm.tbls, dlm.probes)]}",
+          flush=True)
 
     SR = cfg.audio.sample_rate
     wavs = jnp.asarray((0.1 * rng.randn(B, int(args.secs * SR))
