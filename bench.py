@@ -212,11 +212,11 @@ def main() -> None:
                      res[0][0], res[-1][0], h2d))
         return rows[-1]
 
-    def run_config(name, B, bw, secs, lm=None, run_params=None, dtype=None,
-                   pipelined=False, trials=1):
+    def run_config(name, B, bw, secs, lm=None, lm_dev=None, run_params=None,
+                   dtype=None, pipelined=False, trials=1):
         wavs, lens = _mk_wavs(rng, B, secs)
         wavs_d, lens_d = jnp.asarray(wavs), jnp.asarray(lens)
-        compact = bool(bw) and lm is None
+        compact = bool(bw) and lm is None and lm_dev is None
         p = pipeline_fn(bw, dtype, compact)
         run_params = params if run_params is None else run_params
 
@@ -237,9 +237,19 @@ def main() -> None:
                 out = greedy.finalize_greedy(res, vocab)
             elif compact:
                 out = beam.finalize_best(res, vocab)
+            elif lm_dev is not None:
+                # DEVICE second pass (api lm_mode="second", the default):
+                # compact + LM-score + select on device, pull winners only
+                from chinese_asr_tpu.decode import rescore as rescore_mod
+                dlm2, tok2lm2, bos2, eos2 = lm_dev
+                best = rescore_mod.rescore_select_jit(
+                    beam.compact_nbest(res), dlm2, tok2lm2,
+                    cfg.decode.lm_weight, cfg.decode.length_weight,
+                    bos2, eos2)
+                out = beam.finalize_best(best, vocab)
             else:
-                # product path (api.transcribe_wavs): device-side n-best
-                # compaction so only the finite slots cross the tunnel
+                # host second pass (api lm_mode="second_host"): device-side
+                # n-best compaction, then the batched C++ rescore
                 out = beam.finalize_beam(beam.compact_nbest(res), cfg, vocab,
                                          lm_model=lm,
                                          second_pass=lm is not None,
@@ -271,24 +281,29 @@ def main() -> None:
     headline = run_config("batched_bw16_sust", BIG, 16, list(DUR),
                           pipelined=True)
 
-    # 4: + n-gram second pass (batched C++ score_batch over the n-best;
-    # sustained — the host-side LM rescore of batch i overlaps batch i+1's
-    # device decode, as in the product chunk loop)
+    # 4: + n-gram second pass, DEVICE rescore (decode/rescore.py, the
+    # api lm_mode="second" default since round 5: LM tables in HBM,
+    # selection on device, only winning rows cross the tunnel) and the
+    # HOST C++ rescore (lm_mode="second_host": the n-best compaction
+    # pull + one batched score_batch FFI call) — both sustained
     with tempfile.TemporaryDirectory() as td:
         arpa = os.path.join(td, "bench.arpa")
         _mk_arpa(arpa, vocab, rng)
         lm = ngram.load_lm(arpa)
-        run_config("batched_bw16_lm2p", BIG, 16, list(DUR), lm=lm,
+        from chinese_asr_tpu.decode import lm_fused
+        from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
+        dlm = DeviceNgramLM.from_path(arpa)
+        tok2lm_d = jnp.asarray(dlm.token_id_table(vocab))
+        lm_bos, lm_eos = (int(x) for x in dlm.word_ids(["<s>", "</s>"]))
+        run_config("batched_bw16_lm2p", BIG, 16, list(DUR),
+                   lm_dev=(dlm, tok2lm_d, lm_bos, lm_eos), pipelined=True)
+        run_config("batched_bw16_lm2p_host", BIG, 16, list(DUR), lm=lm,
                    pipelined=True, trials=3)
 
         # 4b (round 4): fused FIRST-pass LM decode — the n-gram tables
         # live on device (lm/device_ngram.py) and the whole LM-driven
         # beam search is one jitted while_loop (decode/lm_fused.py); the
         # same ARPA as config 4, so the two LM modes are comparable
-        from chinese_asr_tpu.decode import lm_fused
-        from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
-        dlm = DeviceNgramLM.from_path(arpa)
-        tok2lm_d = jnp.asarray(dlm.token_id_table(vocab))
         wavs_f, lens_f = _mk_wavs(rng, BIG, list(DUR))
         wavs_fd, lens_fd = jnp.asarray(wavs_f), jnp.asarray(lens_f)
 

@@ -6,6 +6,11 @@ three-mode contract (README.md:4-11), plus a fourth TPU-native mode:
   1. greedy                 ASR(ckpt)                      bw in (None, 0, 1)
   2. beam search            ASR(ckpt, bw=4/8/16)
   3. beam + LM second pass  ASR(ckpt, lm_path=..., bw>1)   rescore n-best
+     — ON DEVICE by default (decode/rescore.py: the n-gram tables live
+     in HBM, selection happens on device, only winning rows cross the
+     host boundary); ``lm_mode="second_host"`` keeps the batched C++
+     host rescorer (the oracle, and the fallback for LMs too large
+     for HBM)
   4. fused on-device-LM 1st pass  ASR(..., lm_mode="first")  the LM (ARPA
      or .klm) drives token selection inside one jitted loop — no
      per-step host syncs (decode/lm_fused.py, PERF.md)
@@ -85,7 +90,7 @@ class ASR:
         embedding/projection vocab dim across the model axis, and batch
         chunks are padded up to a multiple of the data-axis size."""
         assert wire in ("flat", "mulaw", "adpcm", "padded"), wire
-        assert lm_mode in ("second", "first"), lm_mode
+        assert lm_mode in ("second", "second_host", "first"), lm_mode
         self.cfg = cfg or Config()
         self.bw = bw
         self.wav_bucket = wav_bucket
@@ -93,17 +98,22 @@ class ASR:
         self.flat_pow2 = flat_pow2
         self.compute_dtype = jnp.dtype(compute_dtype)
         # LM only loads for beam widths > 1 (main.py:78-84).  lm_mode
-        # "second" (default): host C++ n-best rescore (reference
-        # model.py:755).  "first": the fused ON-DEVICE first-pass decode
-        # (decode/lm_fused.py) — the n-gram tables live in HBM and the
-        # LM drives token selection inside one jitted loop (reference
-        # eval_with_lm, model.py:989-1360, re-designed TPU-first).
+        # "second" (default): ON-DEVICE n-best rescore (reference
+        # model.py:749-763 semantics; decode/rescore.py — selection on
+        # device, only winning rows cross the host boundary).
+        # "second_host": the batched C++ host rescorer (the oracle, and
+        # for LMs too large for HBM).  "first": the fused ON-DEVICE
+        # first-pass decode (decode/lm_fused.py) — the n-gram tables
+        # live in HBM and the LM drives token selection inside one
+        # jitted loop (reference eval_with_lm, model.py:989-1360,
+        # re-designed TPU-first).
         self.lm_mode = lm_mode
         self.lm_topn = lm_topn
         use_lm = bool(lm_path and bw and bw > 1)
-        self.lm = ngram.load_lm(lm_path) if (use_lm and lm_mode == "second") \
-            else None
+        self.lm = ngram.load_lm(lm_path) \
+            if (use_lm and lm_mode == "second_host") else None
         self.dlm = self.tok2lm = None
+        self._lm_bos = self._lm_eos = None
 
         if isinstance(vocab, str):
             self.vocab = Vocab.load(vocab)
@@ -112,10 +122,12 @@ class ASR:
         else:
             self.vocab = _identity_vocab(self.cfg.vocab.vocab_size)
 
-        if use_lm and lm_mode == "first":
+        if use_lm and lm_mode in ("first", "second"):
             from .lm.device_ngram import DeviceNgramLM
             self.dlm = DeviceNgramLM.from_path(lm_path)
             self.tok2lm = jnp.asarray(self.dlm.token_id_table(self.vocab))
+            bos_eos = self.dlm.word_ids(["<s>", "</s>"])
+            self._lm_bos, self._lm_eos = int(bos_eos[0]), int(bos_eos[1])
 
         if ckpt_path is None:
             self.params = las.init_params(jax.random.PRNGKey(0), self.cfg)
@@ -148,6 +160,14 @@ class ASR:
                 mesh = sharding.make_mesh(self.cfg)
             self.mesh = mesh
             self.params = sharding.shard_params(self.params, self.cfg, mesh)
+            if self.dlm is not None:
+                # LM tables + token map replicate across the mesh
+                # (read-only gathers, no collectives)
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(mesh, PartitionSpec())
+                self.dlm = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), self.dlm)
+                self.tok2lm = jax.device_put(self.tok2lm, rep)
 
         self._feat_fns = {}
 
@@ -411,7 +431,7 @@ class ASR:
             if not self.bw or self.bw <= 1:
                 return self._sharded_fn("greedy")(self.params, feats,
                                                   feat_lens)
-            if self.dlm is not None:
+            if self.dlm is not None and self.lm_mode == "first":
                 res = self._sharded_fn("lm_fused")(self.params, feats,
                                                    feat_lens, self.dlm,
                                                    self.tok2lm)
@@ -420,7 +440,7 @@ class ASR:
                 except AttributeError:
                     pass
                 return res
-            if self.lm is None:
+            if self.lm is None and self.dlm is None:
                 return self._sharded_fn("beam_best")(self.params, feats,
                                                      feat_lens)
             res = self._sharded_fn("beam")(self.params, feats, feat_lens)
@@ -432,10 +452,20 @@ class ASR:
         if not self.bw or self.bw <= 1:
             return greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                 feats, feat_lens)
-        if self.dlm is not None:
+        if self.dlm is not None and self.lm_mode == "first":
             res = lm_fused_mod.lm_fused_decode_jit(
                 self.params, self.cfg, self.bw, feats, feat_lens,
                 self.dlm, self.tok2lm, self.lm_topn)
+            try:
+                res.fin_count.copy_to_host_async()
+            except AttributeError:
+                pass
+            return res
+        if self.dlm is not None:
+            # device second pass: full n-best buffers stay on device;
+            # only fin_count crosses now (compact_nbest's gather size)
+            res = beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
+                                           feats, feat_lens)
             try:
                 res.fin_count.copy_to_host_async()
             except AttributeError:
@@ -462,11 +492,22 @@ class ASR:
     def _decode_finalize(self, res) -> List[str]:
         if not self.bw or self.bw <= 1:
             return greedy_mod.finalize_greedy(res, self.vocab).pred_text
-        if self.dlm is not None:
+        if self.dlm is not None and self.lm_mode == "first":
             # fused first pass: compact on device, best finished (or the
             # live-beam fallback) per sample — the host loop's contract
             nbest = lm_fused_mod.nbest_lists(beam_mod.compact_nbest(res))
             return [self.vocab.decode(h[0][0]) for h in nbest]
+        if self.dlm is not None:
+            # device second pass (decode/rescore.py): compact on device,
+            # LM-score + select the winner on device, pull only the
+            # winning [B, max_len] rows — the reference's
+            # logp + w_lm*lm + w_len*len argmax (model.py:749-763)
+            from .decode import rescore as rescore_mod
+            best = rescore_mod.rescore_select_jit(
+                beam_mod.compact_nbest(res), self.dlm, self.tok2lm,
+                self.cfg.decode.lm_weight, self.cfg.decode.length_weight,
+                self._lm_bos, self._lm_eos)
+            return beam_mod.finalize_best(best, self.vocab).pred_text
         if self.lm is None:
             return beam_mod.finalize_best(res, self.vocab).pred_text
         # compact the n-best buffers on device first: only the finite
@@ -571,9 +612,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--lm", default=None, help="n-gram LM path "
                     "(ARPA text or KenLM binary .klm)")
     ap.add_argument("--lm-mode", default="second",
-                    choices=("second", "first"),
-                    help="second: host C++ n-best rescore; first: fused "
-                         "on-device-LM first-pass decode (lm_fused.py)")
+                    choices=("second", "second_host", "first"),
+                    help="second: on-device n-best rescore (rescore.py); "
+                         "second_host: batched C++ host rescore; first: "
+                         "fused on-device-LM first-pass decode "
+                         "(lm_fused.py)")
     ap.add_argument("--bw", type=int, default=None, help="beam width")
     ap.add_argument("--transcode", action="store_true",
                     help="force ffmpeg ingest")

@@ -27,20 +27,29 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
                       verbose: bool = True) -> Dict:
     """Returns {"cer", "n", "pred", "ref", "seconds", "utts_per_sec"}.
 
-    ``lm_mode``: "second" (default) rescores the acoustic n-best with
-    the host C++ scorer (reference model.py:755); "first" runs the
+    ``lm_mode``: "second" (default) rescores the acoustic n-best ON
+    DEVICE (reference model.py:749-763 semantics; decode/rescore.py);
+    "second_host" uses the batched C++ host scorer (reference
+    model.py:755; ``lm`` must then be an NgramLM); "first" runs the
     fused on-device-LM first-pass decode (reference eval_with_lm,
-    model.py:989-1360, re-designed TPU-first in decode/lm_fused.py) —
-    ``lm`` may then be an ARPA/.klm path or a prebuilt DeviceNgramLM."""
+    model.py:989-1360, re-designed TPU-first in decode/lm_fused.py).
+    For the device modes ``lm`` may be an ARPA/.klm path, a prebuilt
+    DeviceNgramLM, or an NgramLM."""
     dlm = tok2lm = None
-    if lm is not None and lm_mode == "first":
+    if lm is not None and lm_mode in ("first", "second") and bw and bw > 1:
         import jax.numpy as jnp
 
-        from .decode import lm_fused
+        from .decode import lm_fused, rescore as rescore_mod
         from .lm.device_ngram import DeviceNgramLM
-        dlm = lm if isinstance(lm, DeviceNgramLM) \
-            else DeviceNgramLM.from_path(lm)
+        if isinstance(lm, DeviceNgramLM):
+            dlm = lm
+        elif isinstance(lm, ngram.NgramLM):
+            dlm = (DeviceNgramLM.from_arpa(lm.path) if lm._py is not None
+                   else DeviceNgramLM.from_lm(lm))
+        else:
+            dlm = DeviceNgramLM.from_path(lm)
         tok2lm = jnp.asarray(dlm.token_id_table(vocab))
+        lm_bos, lm_eos = (int(x) for x in dlm.word_ids(["<s>", "</s>"]))
     loader = ds_mod.make_eval_loader(manifest_path, cfg, vocab)
     preds: List[str] = []
     refs: List[str] = []
@@ -55,7 +64,7 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
         if not bw or bw <= 1:
             res = greedy_mod.greedy_decode_jit(params, cfg, feats, feat_lens)
             out = greedy_mod.finalize_greedy(res, vocab, text=text)
-        elif dlm is not None:
+        elif dlm is not None and lm_mode == "first":
             res = lm_fused.lm_fused_decode_jit(params, cfg, bw, feats,
                                                feat_lens, dlm, tok2lm, topn)
             nbest = lm_fused.nbest_lists(res)
@@ -65,6 +74,13 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
                 print(f"  {len(preds)} utts, running CER "
                       f"{batch_cer(preds, refs):.5f}", file=sys.stderr)
             continue
+        elif dlm is not None:
+            res = beam_mod.beam_decode_jit(params, cfg, bw, feats, feat_lens)
+            best = rescore_mod.rescore_select_jit(
+                beam_mod.compact_nbest(res), dlm, tok2lm,
+                cfg.decode.lm_weight, cfg.decode.length_weight,
+                lm_bos, lm_eos)
+            out = beam_mod.finalize_best(best, vocab, text=text)
         else:
             res = beam_mod.beam_decode_jit(params, cfg, bw, feats, feat_lens)
             out = beam_mod.finalize_beam(
@@ -110,15 +126,16 @@ def main(argv=None):
     ap.add_argument("--bw", type=int, default=None)
     ap.add_argument("--lm", default=None, help="ARPA n-gram LM")
     ap.add_argument("--lm-mode", default="second",
-                    choices=("second", "first"),
-                    help="second: host C++ n-best rescore; first: fused "
+                    choices=("second", "second_host", "first"),
+                    help="second: on-device n-best rescore; second_host: "
+                         "batched C++ host rescore; first: fused "
                          "on-device-LM first-pass decode")
     args = ap.parse_args(argv)
 
     from .api import ASR
     asr = ASR(ckpt_path=args.ckpt, vocab=args.vocab)
     use_lm = args.lm if args.bw and args.bw > 1 else None
-    lm = use_lm if args.lm_mode == "first" else ngram.load_lm(use_lm)
+    lm = ngram.load_lm(use_lm) if args.lm_mode == "second_host" else use_lm
     res = evaluate_manifest(asr.params, asr.cfg, asr.vocab, args.manifest,
                             bw=args.bw, lm=lm, lm_mode=args.lm_mode)
     print(f"cer={res['cer']:.5f} n={res['n']} "

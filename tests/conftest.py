@@ -161,6 +161,9 @@ _SLOW = {
     "test_pallas_topk.py": {
         "test_grouped_tie_heavy_fuzz",
     },
+    "test_device_ngram.py": {
+        "test_build_at_production_scale",
+    },
     "test_torch_differential.py": {
         "test_encoder_gradients_match_torch",
     },

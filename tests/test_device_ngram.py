@@ -178,6 +178,71 @@ def test_from_lm_matches_oracle_all_backends(tmp_path, layout):
                         idx, ctx_py[q], cand_w[q][c])
 
 
+@pytest.mark.parametrize("layout", ["tuple", "hashed"])
+def test_matches_oracle_high_order(tmp_path, layout):
+    """Orders 4-5 at a few hundred grams per level over a 40-word vocab:
+    the reference's shipped artifact is a pruned 5-GRAM
+    (zh_giga.no_cna_cmn.prune01244.klm, reference gpd.py:121), so the
+    u32-pair ngram_hash chain at orders 4-5 (hashed layout) and the
+    deep shrinking-context backoff paths (tuple layout) need coverage
+    beyond the order-2/3 fuzz."""
+    rng = np.random.RandomState(41)
+    for idx, order in enumerate([4, 5]):
+        path, vocab = _random_arpa(tmp_path, rng, 300 + idx, order=order,
+                                   nvocab=40, n_per_order=250)
+        py = ngram.PyNgramLM(path)
+        if layout == "tuple":
+            dev = DeviceNgramLM.from_arpa(path)
+        else:
+            lm = ngram.NgramLM(path)
+            if lm._py is not None:
+                pytest.skip("hashed layout needs the C++ LM kernel")
+            dev = DeviceNgramLM.from_lm(lm)
+        assert dev.order == order
+        words = vocab + ["oovword", "<unk>", "</s>", "<s>"]
+        ctx_dev, ctx_py, cand_w, cand_dev = _pairs(rng, py, dev, order,
+                                                   Q=12, C=5, words=words)
+        # force some full-length contexts (the deepest hash chain)
+        full = [str(rng.choice(vocab)) for _ in range(order - 1)]
+        ctx_py[0] = tuple(_mapped(py, w) for w in full)
+        ctx_dev[0] = dev.word_ids(list(ctx_py[0]))
+        got = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                          jnp.asarray(cand_dev)))
+        for q in range(got.shape[0]):
+            for c in range(got.shape[1]):
+                want = py._score_one(ctx_py[q], _mapped(py, cand_w[q][c]))
+                assert got[q, c] == pytest.approx(want, abs=1e-4), (
+                    order, ctx_py[q], cand_w[q][c])
+
+
+def test_build_at_production_scale():
+    """A synthetic table at the reference artifact's per-level entry
+    count regime (millions of hashed 64-bit keys): the vectorized build
+    must stay fast (the PERF.md claim is ~11 s for 10M entries — pin a
+    generous bound at 2M), respect _MEM_CAP in its doubling policy,
+    record a usable probe count, and look up correctly."""
+    import time
+    from chinese_asr_tpu.lm.device_ngram import (_MEM_CAP, _build_table,
+                                                 _lookup)
+    rng = np.random.RandomState(71)
+    n = 2_000_000
+    keys = rng.randint(0, 2**31 - 1, size=(n, 2), dtype=np.int32)
+    keys = np.unique(keys, axis=0)
+    vals = rng.randn(len(keys), 2).astype(np.float32)
+    t0 = time.perf_counter()
+    tbl, probes = _build_table(keys, vals)
+    build_s = time.perf_counter() - t0
+    assert build_s < 60.0, f"vectorized build took {build_s:.1f}s"
+    assert tbl.nbytes <= _MEM_CAP
+    # load factor <= 0.5 keeps worst displacement small even without
+    # doubling headroom; anything beyond ~32 probes would make the hot
+    # gather window absurd
+    assert probes <= 32
+    sample = keys[rng.randint(0, len(keys), 4096)]
+    hit, lp, _ = _lookup(jnp.asarray(tbl), probes, jnp.asarray(sample))
+    assert bool(np.asarray(hit).all())
+
+
 def _state_of(lm, ctx_words):
     """Roll a C++ incremental state through ctx_words from the null
     state (the device context window's semantics)."""

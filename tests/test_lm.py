@@ -110,40 +110,40 @@ def test_metadata(lm_cpp):
     assert ngram.load_lm(None) is None
 
 
-def _random_arpa(tmp_path, rng, idx):
+def _random_arpa(tmp_path, rng, idx, order=None, nvocab=None,
+                 n_per_order=None):
     """Structurally randomized ARPA: random vocab, random logprobs and
     backoffs, and PRUNED HOLES (higher-order grams whose lower-order
     context may be absent are never written — but random subsets force
-    backoff-through-missing-context paths constantly)."""
-    order = int(rng.randint(2, 4))
-    vocab = [f"w{i}" for i in range(int(rng.randint(3, 7)))]
+    backoff-through-missing-context paths constantly).  Supports any
+    order (the reference ships a 5-gram, gpd.py:121 — order/nvocab/
+    n_per_order default to the small fuzz regime, pass explicit values
+    for the scale-hardening tests)."""
+    order = int(rng.randint(2, 4)) if order is None else order
+    nv = int(rng.randint(3, 7)) if nvocab is None else nvocab
+    vocab = [f"w{i}" for i in range(nv)]
     uni = ["<unk>", "<s>", "</s>"] + vocab
 
     def lp():
         return round(float(-rng.rand() * 4 - 0.05), 4)
 
-    grams = {1: [], 2: [], 3: []}
+    grams = {o: [] for o in range(1, order + 1)}
     for w in uni:
         bo = f"\t{lp()}" if order > 1 and rng.rand() < 0.8 else ""
         grams[1].append(f"{lp()}\t{w}{bo}")
-    toks = ["<s>", "</s>"] + vocab
-    seen2 = set()
-    for _ in range(int(rng.randint(3, 12))):
-        a, b = rng.choice(toks), rng.choice(vocab + ["</s>"])
-        if (a, b) in seen2 or a == "</s>":
-            continue
-        seen2.add((a, b))
-        bo = f"\t{lp()}" if order > 2 and rng.rand() < 0.7 else ""
-        grams[2].append(f"{lp()}\t{a} {b}{bo}")
-    if order > 2:
-        seen3 = set()
-        for _ in range(int(rng.randint(2, 10))):
-            a, b = rng.choice(toks), rng.choice(vocab)
-            c = rng.choice(vocab + ["</s>"])
-            if (a, b, c) in seen3 or a == "</s>":
+    for o in range(2, order + 1):
+        n = int(rng.randint(3, 12)) if n_per_order is None else n_per_order
+        seen = set()
+        for _ in range(n):
+            key = ([str(rng.choice(["<s>"] + vocab))]
+                   + [str(rng.choice(vocab)) for _ in range(o - 2)]
+                   + [str(rng.choice(vocab + ["</s>"]))])
+            key = tuple(key)
+            if key in seen:
                 continue
-            seen3.add((a, b, c))
-            grams[3].append(f"{lp()}\t{a} {b} {c}")
+            seen.add(key)
+            bo = f"\t{lp()}" if o < order and rng.rand() < 0.7 else ""
+            grams[o].append(f"{lp()}\t{' '.join(key)}{bo}")
     lines = ["\\data\\"]
     for o in range(1, order + 1):
         lines.append(f"ngram {o}={len(grams[o])}")

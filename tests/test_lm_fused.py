@@ -171,6 +171,56 @@ def test_fused_jit_cached_across_calls(tmp_path):
     assert r1.fin_tokens.shape == r2.fin_tokens.shape
 
 
+def test_fused_matches_host_on_5gram(tmp_path):
+    """The fused decode at the reference artifact's ORDER (a pruned
+    5-gram, gpd.py:121): the order-5 context window, its validity
+    masks, and the 4-deep hash/backoff chains must still reproduce the
+    host loop's n-best exactly."""
+    from test_lm import _random_arpa
+    rng = np.random.RandomState(61)
+    cfg = SMALL
+    vocab = make_vocab()
+    # 5-gram over the letter vocab so acoustic tokens hit real grams
+    letters = list("abcdefgh")
+
+    def lp():
+        return round(float(rng.uniform(-4.0, -0.05)), 4)
+
+    grams = {1: [f"{lp()}\t<unk>", f"{lp()}\t<s>\t{lp()}",
+                 f"{lp()}\t</s>"]
+             + [f"{lp()}\t{ch}\t{lp()}" for ch in letters]}
+    for o in range(2, 6):
+        seen, rows = set(), []
+        for _ in range(60):
+            key = tuple([str(rng.choice(["<s>"] + letters))]
+                        + [str(rng.choice(letters)) for _ in range(o - 2)]
+                        + [str(rng.choice(letters + ["</s>"]))])
+            if key in seen:
+                continue
+            seen.add(key)
+            bo = f"\t{lp()}" if o < 5 and rng.rand() < 0.7 else ""
+            rows.append(f"{lp()}\t{' '.join(key)}{bo}")
+        grams[o] = rows
+    lines = ["\\data\\"] + [f"ngram {o}={len(grams[o])}"
+                            for o in range(1, 6)] + [""]
+    for o in range(1, 6):
+        lines += [f"\\{o}-grams:"] + grams[o] + [""]
+    lines += ["\\end\\", ""]
+    path = tmp_path / "five.arpa"
+    path.write_text("\n".join(lines))
+    lm = ngram.NgramLM(str(path))
+    dlm = DeviceNgramLM.from_arpa(str(path))
+    assert dlm.order == 5
+    tok2lm = jnp.asarray(dlm.token_id_table(vocab))
+    params = las.init_params(jax.random.PRNGKey(61), cfg)
+    feats, lens = inputs(cfg, seed=61, B=3)
+    host = lm_first_pass.lm_first_pass_decode(
+        params, cfg, 2, feats, lens, lm, vocab, topn=6)
+    res = lm_fused.lm_fused_decode(params, cfg, 2, feats, lens, dlm,
+                                   tok2lm, topn=6)
+    assert_nbest_equal(host, lm_fused.nbest_lists(res))
+
+
 def test_fused_from_klm_binary_matches_arpa_build(tmp_path):
     """A probing .klm-built device LM drives the fused decode to the
     same n-best as the ARPA-built one (the reference ships its LM as a

@@ -169,8 +169,11 @@ def test_asr_api_serves_over_mesh():
 
 
 def test_asr_api_mesh_with_second_pass(tmp_path):
-    """Mesh serving through the LM path: sharded full-result beam decode,
-    device-side n-best compaction, host rescoring — same transcripts."""
+    """Mesh serving through the LM second-pass path, BOTH variants:
+    the default on-device rescore (sharded beam decode, device-side
+    compaction, replicated LM tables, device selection) and the
+    "second_host" C++ rescore — each equal to its single-device
+    twin, and device == host transcripts."""
     import sys
     sys.path.insert(0, "tests")
     from test_lm_binary import ARPA_TRI
@@ -183,11 +186,16 @@ def test_asr_api_mesh_with_second_pass(tmp_path):
     rng = np.random.RandomState(1)
     wavs = [(rng.randn(n) * 6000).clip(-32768, 32767).astype(np.int16)
             for n in (1500, 900, 1900, 700, 1200)]
-    kw = dict(cfg=cfg, bw=2, lm_path=str(arpa), wav_bucket=800,
-              vocab=_identity_vocab(cfg.vocab.vocab_size))
-    t1 = ASR(**kw).transcribe_wavs(wavs)
-    tm = ASR(mesh=mesh, **kw).transcribe_wavs(wavs)
-    assert tm == t1
+    outs = {}
+    for mode in ("second", "second_host"):
+        kw = dict(cfg=cfg, bw=2, lm_path=str(arpa), lm_mode=mode,
+                  wav_bucket=800,
+                  vocab=_identity_vocab(cfg.vocab.vocab_size))
+        t1 = ASR(**kw).transcribe_wavs(wavs)
+        tm = ASR(mesh=mesh, **kw).transcribe_wavs(wavs)
+        assert tm == t1, mode
+        outs[mode] = t1
+    assert outs["second"] == outs["second_host"]
 
 
 def test_sharded_lm_fused_matches_single_device(tmp_path):
