@@ -85,6 +85,14 @@ def decode_request_audio(asr, data: bytes, suffix: str = ""
 _STOP = object()         # MicroBatcher.stop sentinel
 
 
+class Overloaded(RuntimeError):
+    """Raised by ``MicroBatcher.submit`` when the pending queue exceeds
+    ``max_queue`` — the fast-fail path that turns saturation into
+    bounded-latency rejection (HTTP 429) instead of unbounded queueing
+    (the measured collapse mode: PERF.md's 60 RPS rows, p50 in seconds
+    with open-loop queue growth)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent transcription requests into batched decodes.
 
@@ -94,12 +102,20 @@ class MicroBatcher:
     arrive inside it are decoded as ONE ``transcribe_wavs`` batch.  Under
     no concurrency this adds at most ``window_ms`` latency; under load it
     multiplies throughput by the batch factor (PERF.md: 30 -> 1125
-    utts/s/chip between B=1 and B=128)."""
+    utts/s/chip between B=1 and B=128).
+
+    ``max_queue`` bounds the pending-request queue: a submit beyond it
+    fails immediately with :class:`Overloaded` (429 at the HTTP layer)
+    rather than joining a queue whose wait already exceeds any useful
+    deadline.  The default (None -> 4x ``max_batch``) bounds queueing
+    delay to ~4 full decode batches; pass 0 for unbounded queueing."""
 
     def __init__(self, asr, max_batch: int = 128, window_ms: float = 15.0,
-                 pad_batches: bool = True):
+                 pad_batches: bool = True, max_queue: Optional[int] = None):
         self.asr = asr
         self.max_batch = max_batch
+        self.max_queue = 4 * max_batch if max_queue is None else max_queue
+        self.rejected = 0           # fast-failed submits (stats/tests)
         self.window = window_ms / 1e3
         # Collected batches vary in size request-by-request, and every new
         # batch size is a new jit shape (30-90 s of XLA compile on the
@@ -138,7 +154,14 @@ class MicroBatcher:
 
     def submit(self, wav: np.ndarray, scale: float,
                timeout: Optional[float] = None) -> str:
-        """Block until the transcript for ``wav`` is ready."""
+        """Block until the transcript for ``wav`` is ready; raises
+        :class:`Overloaded` immediately when the pending queue is at
+        ``max_queue`` (qsize is approximate under concurrency — the cap
+        is a load-shedding threshold, not an exact invariant)."""
+        if self.max_queue and self._q.qsize() >= self.max_queue:
+            self.rejected += 1
+            raise Overloaded(
+                f"pending queue at capacity ({self.max_queue}); retry later")
         ev = threading.Event()
         box: dict = {}
         self._q.put((wav, scale, ev, box))
@@ -223,6 +246,7 @@ def _make_handler(asr, batcher: MicroBatcher):
                     "backend": jax.default_backend(),
                     "batches": batcher.batches,
                     "requests": batcher.requests,
+                    "rejected": batcher.rejected,
                 })
             else:
                 self._reply(404, {"error": "not found"})
@@ -242,6 +266,15 @@ def _make_handler(asr, batcher: MicroBatcher):
                 return
             try:
                 text = batcher.submit(wav, scale)
+            except Overloaded as e:   # shed load, don't queue unbounded
+                body = json.dumps({"error": str(e)}).encode("utf-8")
+                self.send_response(429)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # noqa: BLE001 — decode failure
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -254,12 +287,15 @@ def _make_handler(asr, batcher: MicroBatcher):
 
 
 def serve_http(asr, port: int = 8000, host: str = "127.0.0.1",
-               max_batch: int = 128,
-               window_ms: float = 15.0) -> ThreadingHTTPServer:
+               max_batch: int = 128, window_ms: float = 15.0,
+               max_queue: Optional[int] = None) -> ThreadingHTTPServer:
     """Build the serving stack; call ``.serve_forever()`` on the result.
     ``server_port`` on the returned server reports the bound port (pass
-    port=0 for an ephemeral one, as the tests do)."""
-    batcher = MicroBatcher(asr, max_batch=max_batch, window_ms=window_ms)
+    port=0 for an ephemeral one, as the tests do).  ``max_queue``: see
+    :class:`MicroBatcher` (None -> 4x max_batch; saturated queues reply
+    429 + Retry-After instead of queueing unbounded)."""
+    batcher = MicroBatcher(asr, max_batch=max_batch, window_ms=window_ms,
+                           max_queue=max_queue)
 
     class _Server(ThreadingHTTPServer):
         def server_close(self):  # stop the batcher thread with the server

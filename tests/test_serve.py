@@ -115,6 +115,58 @@ def test_concurrent_requests_are_microbatched(server):
     assert srv.batcher.batches - before < len(payloads)
 
 
+def test_microbatcher_sheds_load_when_queue_full():
+    """Saturation degrades to fast-fail rejection (Overloaded), not
+    unbounded queueing — the overload behavior PERF.md's 60 RPS rows
+    showed was missing."""
+    import time
+
+    from chinese_asr_tpu.serve import MicroBatcher, Overloaded
+
+    class SlowASR:
+        cfg = _small_cfg()
+
+        def transcribe_wavs(self, wavs, max_batch=128, scales=None):
+            time.sleep(0.25)
+            return ["x"] * len(wavs)
+
+    mb = MicroBatcher(SlowASR(), max_batch=1, window_ms=0.0,
+                      pad_batches=False, max_queue=2)
+    wav = np.zeros(10, np.int16)
+    done = []
+    ths = [threading.Thread(target=lambda: done.append(mb.submit(wav, 1.0)))
+           for _ in range(3)]
+    for t in ths:
+        t.start()
+    time.sleep(0.1)      # worker holds #1 in decode; #2/#3 fill the queue
+    with pytest.raises(Overloaded):
+        mb.submit(wav, 1.0)
+    for t in ths:
+        t.join(timeout=30)
+    assert done == ["x"] * 3      # queued requests still complete
+    assert mb.rejected == 1
+    mb.stop()
+
+
+def test_http_429_on_overload(server):
+    """A saturated batcher maps to HTTP 429 (+ JSON error body)."""
+    from chinese_asr_tpu.serve import Overloaded
+    srv, _ = server
+
+    def boom(wav, scale, timeout=None):
+        raise Overloaded("pending queue at capacity (test)")
+
+    srv.batcher.submit = boom     # instance attr shadows the method
+    try:
+        status, obj = _post(srv.server_port, _wav_bytes(9))
+    finally:
+        del srv.batcher.submit    # restore the class method
+    assert status == 429
+    assert "capacity" in obj["error"]
+    status, obj = _post(srv.server_port, _wav_bytes(9))
+    assert status == 200          # server still serves after shedding
+
+
 def test_microbatcher_direct():
     """Batcher-level check without HTTP: coalescing + order fidelity."""
     from chinese_asr_tpu.serve import MicroBatcher
