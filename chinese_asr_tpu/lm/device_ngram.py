@@ -388,30 +388,33 @@ def _lookup(tbl, probes: int, keys):
     int32 -> (hit [...] bool, logp [...] f32, backoff [...] f32); a
     miss returns (False, 0.0, 0.0).
 
-    The whole probe window rides ONE lax.gather of contiguous [P, k+2]
-    slices — one descriptor per query.  TPU gathers of tiny rows are
-    descriptor-latency-bound (the round-4 fused-decode trace priced the
-    P-separate-row-fetches + value-gather formulation at ~60% of the
-    loop), so fusing the P probes AND the value fetch into one window
-    is the lever.  Stored keys are unique, hence at most one probe slot
-    matches and the value select is a masked sum (int32 bit patterns,
-    zero identity) — no argmax, no second gather."""
+    Each probe is a plain ROW gather from the packed table (keys and
+    values ride the same row), so the old separate value gather is
+    gone, and the wrap-free padding (`_pack_table`) removes the
+    ``& (cap-1)`` on every probe slot.  Stored keys are unique, hence
+    at most one probe slot matches and the value select is a masked
+    sum (int32 bit patterns, zero identity) — no argmax, no
+    take_along_axis.
+
+    MEASURED NEGATIVE (round 5, do not re-try without a new trace):
+    fetching the whole [P, k+2] window as ONE lax.gather of contiguous
+    slices (slice_sizes=(P, k+2)) — "one descriptor per query" — made
+    the fused decode 4.7x SLOWER end-to-end (408 -> 1908 ms/batch at
+    B=128, bw=16): the TPU backend expands multi-row slice gathers
+    inside the decode loop into a SEQUENTIAL while loop of
+    dynamic-slices (the trace shows a nested `while.9` at 564 ms/run
+    plus 527 ms of dynamic-slice fusions), while standard row gathers
+    (slice_sizes=(1, row)) take the fast vectorized path."""
     k = keys.shape[-1]
     P = probes
-    cap = tbl.shape[0] - (P - 1)
-    h = (_hash_jnp(keys) & jnp.uint32(cap - 1)).astype(jnp.int32)
-    win = jax.lax.gather(
-        tbl, h.reshape(-1, 1),
-        jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
-                                       collapsed_slice_dims=(),
-                                       start_index_map=(0,)),
-        slice_sizes=(P, k + 2),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).reshape(*keys.shape[:-1], P, k + 2)
+    h = (_hash_jnp(keys) & jnp.uint32(tbl.shape[0] - (P - 1) - 1)) \
+        .astype(jnp.int32)
+    slots = h[..., None] + jnp.arange(P, dtype=jnp.int32)  # [..., P]
+    win = tbl[slots]                                       # [..., P, k+2]
     hit_p = jnp.all(win[..., :k] == keys[..., None, :], axis=-1)  # [..., P]
     hit = jnp.any(hit_p, axis=-1)
     v = jnp.where(hit_p[..., None], win[..., k:], 0).sum(axis=-2)
-    v = jax.lax.bitcast_convert_type(v, jnp.float32)     # [..., 2]
+    v = jax.lax.bitcast_convert_type(v, jnp.float32)       # [..., 2]
     return hit, v[..., 0], v[..., 1]
 
 
