@@ -48,15 +48,19 @@ def run_load_point(port: int, payload: bytes, rate: float, duration: float,
     """Open-loop: launch a request thread at each Poisson arrival time."""
     lat: list = []
     errs = [0]
+    rej = [0]         # HTTP 429 fast-fails (load shedding), with latency
+    rej_lat: list = []
     lock = threading.Lock()
 
     def one():
         t0 = time.perf_counter()
+        status = None
         try:
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
             conn.request("POST", "/transcribe", body=payload)
             resp = conn.getresponse()
             body = resp.read()
+            status = resp.status
             ok = resp.status == 200 and json.loads(body).get("text") is not None
             conn.close()
         except Exception:
@@ -65,6 +69,9 @@ def run_load_point(port: int, payload: bytes, rate: float, duration: float,
         with lock:
             if ok:
                 lat.append(dt)
+            elif status == 429:
+                rej[0] += 1
+                rej_lat.append(dt)
             else:
                 errs[0] += 1
 
@@ -83,10 +90,14 @@ def run_load_point(port: int, payload: bytes, rate: float, duration: float,
     def pct(p):
         return lat[min(len(lat) - 1, int(p / 100 * len(lat)))] if lat else 0.0
 
+    rej_lat.sort()
     return {
         "sent": len(threads),
         "ok": len(lat),
         "errs": errs[0],
+        "rej": rej[0],
+        "rej_p99_ms": (rej_lat[int(0.99 * (len(rej_lat) - 1))] * 1e3
+                       if rej_lat else 0.0),
         "rps": len(lat) / max(t_launch_end -
                               (t_end - duration), 1e-9),
         "p50_ms": pct(50) * 1e3,
@@ -173,8 +184,8 @@ def main():
     print(f"# backend={jax.default_backend()} secs={args.secs} "
           f"max_batch={args.max_batch} overfit={args.overfit}")
     print(f"# {'window_ms':>9} {'rate':>6} {'sent':>5} {'ok':>5} "
-          f"{'err':>4} {'p50_ms':>8} {'p90_ms':>8} {'p99_ms':>8} "
-          f"{'max_ms':>8} {'avg_B':>6}")
+          f"{'err':>4} {'429':>5} {'p50_ms':>8} {'p90_ms':>8} "
+          f"{'p99_ms':>8} {'max_ms':>8} {'rej_p99':>8} {'avg_B':>6}")
     for window in [float(w) for w in args.windows.split(",")]:
         # fresh ASR per window: clean jit cache accounting, same params
         asr = ASR(cfg=cfg, bw=16, flat_pow2=True,
@@ -194,9 +205,10 @@ def main():
             db = srv.batcher.batches - b0
             avg_b = (srv.batcher.requests - r0) / max(db, 1)
             print(f"# {window:>9.0f} {rate:>6.1f} {res['sent']:>5} "
-                  f"{res['ok']:>5} {res['errs']:>4} {res['p50_ms']:>8.0f} "
-                  f"{res['p90_ms']:>8.0f} {res['p99_ms']:>8.0f} "
-                  f"{res['max_ms']:>8.0f} {avg_b:>6.1f}", flush=True)
+                  f"{res['ok']:>5} {res['errs']:>4} {res['rej']:>5} "
+                  f"{res['p50_ms']:>8.0f} {res['p90_ms']:>8.0f} "
+                  f"{res['p99_ms']:>8.0f} {res['max_ms']:>8.0f} "
+                  f"{res['rej_p99_ms']:>8.0f} {avg_b:>6.1f}", flush=True)
         srv.shutdown()
 
 
