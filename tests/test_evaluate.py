@@ -53,6 +53,27 @@ def test_compare_modes(corpus):
         assert v["n"] == 3 and np.isfinite(v["cer"])
 
 
+def test_evaluate_manifest_second_pass_device_matches_host(corpus, tmp_path):
+    """lm_mode="second" (device rescore, the default) == "second_host"
+    (C++ oracle) through the manifest harness."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lm_fused import random_trigram_arpa
+
+    from chinese_asr_tpu.lm import ngram
+    mpath, vocab = corpus
+    rng = np.random.RandomState(4)
+    arpa = random_trigram_arpa(tmp_path, rng, 4)
+    params = las.init_params(jax.random.PRNGKey(2), SMALL)
+    dev = evaluate_manifest(params, SMALL, vocab, mpath, bw=2, lm=arpa,
+                            lm_mode="second", verbose=False)
+    host = evaluate_manifest(params, SMALL, vocab, mpath, bw=2,
+                             lm=ngram.load_lm(arpa),
+                             lm_mode="second_host", verbose=False)
+    assert dev["pred"] == host["pred"]
+    assert dev["cer"] == pytest.approx(host["cer"], abs=1e-9)
+
+
 def test_evaluate_manifest_lm_first_pass(corpus, tmp_path):
     """lm_mode="first" drives the fused on-device-LM decode end to end
     (manifest -> loader -> lm_fused -> CER), accepting an ARPA path."""
