@@ -310,20 +310,19 @@ def main() -> None:
         @jax.jit
         def lm1p_pipe(p, w, l, dlm, tok2lm):
             f, fl = features.featurize_batch(w, l, cfg.audio)
-            return lm_fused.lm_fused_decode(p, cfg, 16, f, fl, dlm,
-                                            tok2lm, topn=20)
+            res = lm_fused.lm_fused_decode(p, cfg, 16, f, fl, dlm,
+                                           tok2lm, topn=20)
+            # winner selected ON DEVICE (api lm_mode="first" path): the
+            # n-best buffers never cross the tunnel — pulling + host-
+            # unpacking them was ~40% of the round-4 row
+            return lm_fused.select_best_first_pass(res)
 
         def lm1p_dispatch():
-            res = lm1p_pipe(params, wavs_fd, lens_fd, dlm, tok2lm_d)
-            try:
-                res.fin_count.copy_to_host_async()
-            except AttributeError:
-                pass
-            return res
+            return lm1p_pipe(params, wavs_fd, lens_fd, dlm, tok2lm_d)
 
         def lm1p_finalize(res):
-            nb = lm_fused.nbest_lists(beam.compact_nbest(res))
-            assert len(nb) == BIG
+            out = beam.finalize_best(res, vocab)
+            assert len(out.pred_text) == BIG
 
         def lm1p_trial():
             return _time_pipelined(lm1p_dispatch, lm1p_finalize,

@@ -188,11 +188,10 @@ class ASR:
             elif kind == "beam_best":
                 fn = sharding.make_sharded_beam_best(self.cfg, self.bw,
                                                      self.params, self.mesh)
-            elif kind == "lm_fused":
-                fn = sharding.make_sharded_lm_fused(self.cfg, self.bw,
-                                                    self.params, self.mesh,
-                                                    self.dlm,
-                                                    topn=self.lm_topn)
+            elif kind == "lm_fused_best":
+                fn = sharding.make_sharded_lm_fused_best(
+                    self.cfg, self.bw, self.params, self.mesh, self.dlm,
+                    topn=self.lm_topn)
             else:
                 fn = sharding.make_sharded_beam(self.cfg, self.bw,
                                                 self.params, self.mesh)
@@ -432,14 +431,10 @@ class ASR:
                 return self._sharded_fn("greedy")(self.params, feats,
                                                   feat_lens)
             if self.dlm is not None and self.lm_mode == "first":
-                res = self._sharded_fn("lm_fused")(self.params, feats,
-                                                   feat_lens, self.dlm,
-                                                   self.tok2lm)
-                try:
-                    res.fin_count.copy_to_host_async()
-                except AttributeError:
-                    pass
-                return res
+                # winner selected on device (select_best_first_pass):
+                # only [B, max_len] rows leave the mesh
+                return self._sharded_fn("lm_fused_best")(
+                    self.params, feats, feat_lens, self.dlm, self.tok2lm)
             if self.lm is None and self.dlm is None:
                 return self._sharded_fn("beam_best")(self.params, feats,
                                                      feat_lens)
@@ -453,14 +448,12 @@ class ASR:
             return greedy_mod.greedy_decode_jit(self.params, self.cfg,
                                                 feats, feat_lens)
         if self.dlm is not None and self.lm_mode == "first":
-            res = lm_fused_mod.lm_fused_decode_jit(
+            # best finished (or the live-beam fallback) selected ON
+            # DEVICE — the n-best buffers never cross the tunnel (they
+            # were ~the whole finalization half of the round-4 bench row)
+            return lm_fused_mod.lm_fused_decode_best_jit(
                 self.params, self.cfg, self.bw, feats, feat_lens,
                 self.dlm, self.tok2lm, self.lm_topn)
-            try:
-                res.fin_count.copy_to_host_async()
-            except AttributeError:
-                pass
-            return res
         if self.dlm is not None:
             # device second pass: full n-best buffers stay on device;
             # only fin_count crosses now (compact_nbest's gather size)
@@ -493,10 +486,8 @@ class ASR:
         if not self.bw or self.bw <= 1:
             return greedy_mod.finalize_greedy(res, self.vocab).pred_text
         if self.dlm is not None and self.lm_mode == "first":
-            # fused first pass: compact on device, best finished (or the
-            # live-beam fallback) per sample — the host loop's contract
-            nbest = lm_fused_mod.nbest_lists(beam_mod.compact_nbest(res))
-            return [self.vocab.decode(h[0][0]) for h in nbest]
+            # fused first pass: winner already selected on device
+            return beam_mod.finalize_best(res, self.vocab).pred_text
         if self.dlm is not None:
             # device second pass (decode/rescore.py): compact on device,
             # LM-score + select the winner on device, pull only the

@@ -300,6 +300,54 @@ def lm_fused_decode_jit(params, cfg: Config, bw: int, feats, feat_lens,
         params, feats=feats, feat_lens=feat_lens, dlm=dlm, tok2lm=tok2lm)
 
 
+def select_best_first_pass(res: BeamResult):
+    """Device-side replica of ``nbest_lists(res)[b][0]`` — the only row
+    the transcription product path consumes: best finished hypothesis
+    by LM score (first max in harvest order, like the host loop's
+    stable sort-desc), else the live beam-0 fallback with score 0.0
+    (`lm_first_pass_decode`'s contract).  Selecting on device drops the
+    per-batch transfer from the compacted n-best buffers (~the whole
+    finalization half of the round-4 bench row) to one [B, max_len]
+    row per sample, like `beam.select_best` does for the no-LM path."""
+    from .beam import BestResult
+    B, k, max_len = res.live_tokens.shape
+    fin_sel = jnp.where(jnp.isfinite(res.fin_scores), res.fin_scores,
+                        -jnp.inf)
+    slot = jnp.argmax(fin_sel, axis=1)
+    fin_tok = jnp.take_along_axis(
+        res.fin_tokens, slot[:, None, None], axis=1)[:, 0]
+    fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
+    fin_sc = jnp.take_along_axis(res.fin_scores, slot[:, None], axis=1)[:, 0]
+    has_fin = res.fin_count > 0
+    live_len = jnp.minimum(res.l_final + 1, max_len)
+    return BestResult(
+        tokens=jnp.where(has_fin[:, None], fin_tok.astype(jnp.int32),
+                         res.live_tokens[:, 0].astype(jnp.int32)),
+        lens=jnp.where(has_fin, fin_len, live_len),
+        scores=jnp.where(has_fin, fin_sc, 0.0),
+        finished=has_fin)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_best(cfg: Config, bw: int, topn: int, use_pallas: bool,
+                 variant=None):
+    def fn(params, feats, feat_lens, dlm, tok2lm):
+        res = lm_fused_decode(params, cfg, bw, feats, feat_lens, dlm,
+                              tok2lm, topn=topn, use_pallas=use_pallas)
+        return select_best_first_pass(res)
+    return jax.jit(fn)
+
+
+def lm_fused_decode_best_jit(params, cfg: Config, bw: int, feats,
+                             feat_lens, dlm, tok2lm, topn: int = 20):
+    """Fused LM-driven decode + on-device best selection — the serving
+    fast path for ``ASR(lm_mode="first")`` transcription."""
+    return _jitted_best(cfg, bw, topn, pallas_topk.use_pallas_topk(),
+                        (pallas_topk.use_grouped_topk(),
+                         pallas_topk.use_onepass_topk()))(
+        params, feats, feat_lens, dlm, tok2lm)
+
+
 def nbest_lists(res: BeamResult, B: int = None):
     """Unpack a fused-decode BeamResult into the host loop's return
     format: per sample, finished (token_list, score) sorted score desc

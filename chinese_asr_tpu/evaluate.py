@@ -65,15 +65,9 @@ def evaluate_manifest(params, cfg: Config, vocab: Vocab, manifest_path: str,
             res = greedy_mod.greedy_decode_jit(params, cfg, feats, feat_lens)
             out = greedy_mod.finalize_greedy(res, vocab, text=text)
         elif dlm is not None and lm_mode == "first":
-            res = lm_fused.lm_fused_decode_jit(params, cfg, bw, feats,
-                                               feat_lens, dlm, tok2lm, topn)
-            nbest = lm_fused.nbest_lists(res)
-            preds.extend(vocab.decode(h[0][0]) for h in nbest)
-            refs.extend(vocab.decode(t) for t in text)
-            if verbose:
-                print(f"  {len(preds)} utts, running CER "
-                      f"{batch_cer(preds, refs):.5f}", file=sys.stderr)
-            continue
+            best = lm_fused.lm_fused_decode_best_jit(
+                params, cfg, bw, feats, feat_lens, dlm, tok2lm, topn)
+            out = beam_mod.finalize_best(best, vocab, text=text)
         elif dlm is not None:
             res = beam_mod.beam_decode_jit(params, cfg, bw, feats, feat_lens)
             best = rescore_mod.rescore_select_jit(

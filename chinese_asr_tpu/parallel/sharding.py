@@ -170,6 +170,27 @@ def make_sharded_lm_fused(cfg: Config, bw: int, params, mesh: Mesh,
                                      NamedSharding(mesh, P())))
 
 
+def make_sharded_lm_fused_best(cfg: Config, bw: int, params, mesh: Mesh,
+                               dlm, topn: int = 20):
+    """Sharded fused LM-driven decode + on-device winner selection —
+    the ``ASR(lm_mode="first")`` serving fast path on a mesh: only
+    [B, max_len] rows leave the devices."""
+    from ..decode import lm_fused as lmf_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    d = NamedSharding(mesh, P(cfg.mesh.data_axis))
+    rep = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), (dlm,))[0]
+
+    def fn(params, feats, feat_lens, dlm, tok2lm):
+        res = lmf_mod.lm_fused_decode(params, cfg, bw, feats, feat_lens,
+                                      dlm, tok2lm, topn=topn)
+        return lmf_mod.select_best_first_pass(res)
+
+    return jax.jit(fn, in_shardings=(psh, d, d, rep,
+                                     NamedSharding(mesh, P())))
+
+
 def make_sharded_beam_best(cfg: Config, bw: int, params, mesh: Mesh):
     """Sharded fused decode + on-device best selection — the serving fast
     path (api._decode_dispatch) on a mesh: only [B, max_len] rows leave

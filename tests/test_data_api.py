@@ -182,13 +182,17 @@ def test_asr_three_modes_and_determinism(tmp_path, corpus):
     assert isinstance(tb, str)
 
     lm = ASR(cfg=SMALL, bw=3, lm_path=str(arpa), wav_bucket=4800)
-    assert lm.lm is not None
+    assert lm.dlm is not None and lm.lm is None    # device rescore default
     tl = lm(utts[0].path)
     assert isinstance(tl, str)
+    lm_h = ASR(cfg=SMALL, bw=3, lm_path=str(arpa), lm_mode="second_host",
+               wav_bucket=4800)
+    assert lm_h.lm is not None and lm_h.dlm is None
+    assert lm_h(utts[0].path) == tl                # host oracle agrees
 
     # lm ignored for greedy (main.py:78-84)
     g2 = ASR(cfg=SMALL, bw=1, lm_path=str(arpa))
-    assert g2.lm is None
+    assert g2.lm is None and g2.dlm is None
 
 
 def test_asr_zero_length_wav_no_crash(tmp_path):

@@ -147,6 +147,36 @@ def test_fused_result_is_beamresult_contract(tmp_path):
     assert compact.fin_tokens.shape[1] <= res.fin_tokens.shape[1]
 
 
+def test_select_best_first_pass_matches_nbest_top(tmp_path):
+    """Device-side winner selection == nbest_lists(...)[b][0] (the row
+    the product path consumes), including the live-beam-0 fallback when
+    nothing finished."""
+    rng = np.random.RandomState(8)
+    cfg = SMALL
+    vocab = make_vocab()
+    path = random_trigram_arpa(tmp_path, rng, 90)
+    dlm = DeviceNgramLM.from_arpa(path)
+    tok2lm = jnp.asarray(dlm.token_id_table(vocab))
+    params = las.init_params(jax.random.PRNGKey(8), cfg)
+    feats, lens = inputs(cfg, seed=8, B=4)
+    res = lm_fused.lm_fused_decode(params, cfg, 3, feats, lens, dlm,
+                                   tok2lm, topn=6)
+    for r in (res,
+              # forced never-finished: the live beam-0 fallback path
+              res._replace(fin_scores=jnp.full_like(res.fin_scores,
+                                                    -jnp.inf),
+                           fin_count=jnp.zeros_like(res.fin_count))):
+        nb = lm_fused.nbest_lists(r)
+        best = lm_fused.select_best_first_pass(r)
+        toks = np.asarray(best.tokens)
+        blens = np.asarray(best.lens)
+        scores = np.asarray(best.scores)
+        for b in range(4):
+            want_ids, want_sc = nb[b][0]
+            assert toks[b, : blens[b]].tolist() == want_ids, b
+            assert float(scores[b]) == pytest.approx(want_sc, abs=1e-4)
+
+
 def test_fused_jit_cached_across_calls(tmp_path):
     """The whole decode is ONE jitted program, cached per
     (cfg, bw, topn): a second call with fresh inputs triggers zero new
