@@ -49,7 +49,7 @@ def main():
     from chinese_asr_tpu.decode import beam
     from chinese_asr_tpu.models import las
     from chinese_asr_tpu.utils import compile_cache
-    compile_cache.configure(ROOT)
+    compile_cache.configure(ROOT, cpu=False)
 
     cfg = Config()
     params = las.init_params(jax.random.PRNGKey(0), cfg)
