@@ -238,8 +238,9 @@ def main() -> None:
             elif compact:
                 out = beam.finalize_best(res, vocab)
             elif lm_dev is not None:
-                # DEVICE second pass (api lm_mode="second", the default):
-                # compact + LM-score + select on device, pull winners only
+                # post-hoc DEVICE second pass (compact + LM-score +
+                # select on device) — superseded as the product path by
+                # the fused lm_track pipeline below, kept callable
                 from chinese_asr_tpu.decode import rescore as rescore_mod
                 dlm2, tok2lm2, bos2, eos2 = lm_dev
                 best = rescore_mod.rescore_select_jit(
@@ -295,8 +296,32 @@ def main() -> None:
         dlm = DeviceNgramLM.from_path(arpa)
         tok2lm_d = jnp.asarray(dlm.token_id_table(vocab))
         lm_bos, lm_eos = (int(x) for x in dlm.word_ids(["<s>", "</s>"]))
-        run_config("batched_bw16_lm2p", BIG, 16, list(DUR),
-                   lm_dev=(dlm, tok2lm_d, lm_bos, lm_eos), pipelined=True)
+
+        # the api lm_mode="second" product path: decode + passive LM
+        # track + rescored winner selection in ONE jitted program
+        from chinese_asr_tpu.decode import rescore as rescore_mod
+        wavs_r, lens_r = _mk_wavs(rng, BIG, list(DUR))
+        wavs_rd, lens_rd = jnp.asarray(wavs_r), jnp.asarray(lens_r)
+
+        @jax.jit
+        def lm2p_pipe(p, w, l, dlm, tok2lm):
+            f, fl = features.featurize_batch(w, l, cfg.audio)
+            res, fin_lm = beam.beam_decode(
+                p, cfg, 16, f, fl, lm_track=(dlm, tok2lm, lm_bos, lm_eos))
+            return rescore_mod.select_rescored(
+                res, fin_lm, cfg.decode.lm_weight,
+                cfg.decode.length_weight)
+
+        def lm2p_finalize(best):
+            out = beam.finalize_best(best, vocab)
+            assert len(out.pred_text) == BIG
+
+        def lm2p_trial():
+            return _time_pipelined(
+                lambda: lm2p_pipe(params, wavs_rd, lens_rd, dlm, tok2lm_d),
+                lm2p_finalize, min_secs=0.2 if smoke else 5.0)
+        add_row("batched_bw16_lm2p", BIG, 16, float(lens_r.sum()) / SR,
+                lm2p_trial, trials=1)
         run_config("batched_bw16_lm2p_host", BIG, 16, list(DUR), lm=lm,
                    pipelined=True, trials=3)
 

@@ -192,6 +192,10 @@ class ASR:
                 fn = sharding.make_sharded_lm_fused_best(
                     self.cfg, self.bw, self.params, self.mesh, self.dlm,
                     topn=self.lm_topn)
+            elif kind == "beam_rescored":
+                fn = sharding.make_sharded_beam_rescored(
+                    self.cfg, self.bw, self.params, self.mesh, self.dlm,
+                    self._lm_bos, self._lm_eos)
             else:
                 fn = sharding.make_sharded_beam(self.cfg, self.bw,
                                                 self.params, self.mesh)
@@ -435,7 +439,11 @@ class ASR:
                 # only [B, max_len] rows leave the mesh
                 return self._sharded_fn("lm_fused_best")(
                     self.params, feats, feat_lens, self.dlm, self.tok2lm)
-            if self.lm is None and self.dlm is None:
+            if self.dlm is not None:
+                # fused decode + passive LM track + rescored winner
+                return self._sharded_fn("beam_rescored")(
+                    self.params, feats, feat_lens, self.dlm, self.tok2lm)
+            if self.lm is None:
                 return self._sharded_fn("beam_best")(self.params, feats,
                                                      feat_lens)
             res = self._sharded_fn("beam")(self.params, feats, feat_lens)
@@ -455,15 +463,16 @@ class ASR:
                 self.params, self.cfg, self.bw, feats, feat_lens,
                 self.dlm, self.tok2lm, self.lm_topn)
         if self.dlm is not None:
-            # device second pass: full n-best buffers stay on device;
-            # only fin_count crosses now (compact_nbest's gather size)
-            res = beam_mod.beam_decode_jit(self.params, self.cfg, self.bw,
-                                           feats, feat_lens)
-            try:
-                res.fin_count.copy_to_host_async()
-            except AttributeError:
-                pass
-            return res
+            # device second pass, fully fused (decode/rescore.py): the
+            # beam decode tracks LM chains passively and the rescored
+            # winner is selected in the SAME jitted program — no
+            # decode->rescore host round trip, only [B, max_len] rows
+            # cross the boundary
+            from .decode import rescore as rescore_mod
+            return rescore_mod.beam_rescored_best_jit(
+                self.params, self.cfg, self.bw, feats, feat_lens,
+                self.dlm, self.tok2lm, self.cfg.decode.lm_weight,
+                self.cfg.decode.length_weight, self._lm_bos, self._lm_eos)
         if self.lm is None:
             # no second pass -> best hypothesis is selected ON DEVICE and
             # only [B, max_len] rows cross the host boundary (the n-best
@@ -489,16 +498,10 @@ class ASR:
             # fused first pass: winner already selected on device
             return beam_mod.finalize_best(res, self.vocab).pred_text
         if self.dlm is not None:
-            # device second pass (decode/rescore.py): compact on device,
-            # LM-score + select the winner on device, pull only the
-            # winning [B, max_len] rows — the reference's
-            # logp + w_lm*lm + w_len*len argmax (model.py:749-763)
-            from .decode import rescore as rescore_mod
-            best = rescore_mod.rescore_select_jit(
-                beam_mod.compact_nbest(res), self.dlm, self.tok2lm,
-                self.cfg.decode.lm_weight, self.cfg.decode.length_weight,
-                self._lm_bos, self._lm_eos)
-            return beam_mod.finalize_best(best, self.vocab).pred_text
+            # device second pass: winner already selected in the decode
+            # program (the reference's logp + w_lm*lm + w_len*len
+            # argmax, model.py:749-763)
+            return beam_mod.finalize_best(res, self.vocab).pred_text
         if self.lm is None:
             return beam_mod.finalize_best(res, self.vocab).pred_text
         # compact the n-best buffers on device first: only the finite

@@ -63,7 +63,20 @@ def beam_unroll() -> int:
 
 def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
                 use_pallas: bool = None, unroll: int = None,
-                fused_logp: bool = None) -> BeamResult:
+                fused_logp: bool = None, lm_track=None):
+    """``lm_track`` (optional): ``(dlm, tok2lm, bos_id, eos_id)`` — a
+    DeviceNgramLM + token map.  When set, the loop PASSIVELY tracks
+    each live beam's cumulative LM score (bos=True chain, exactly the
+    f32 addition order of ``rescore.score_sequences``) and harvests
+    each finished hypothesis's FULL sentence LM score (cum + </s> term)
+    into an extra ``[B, max_len, k]`` buffer, returned as
+    ``(BeamResult, fin_lm)``.  Selection stays purely acoustic — the LM
+    never influences the search — so the decode is bit-identical to the
+    untracked one; the buffer makes the reference's second-pass rescore
+    (model.py:749-763) a zero-extra-pass device argmax
+    (``select_rescored``): no n-best transfer, no host round trip
+    between decode and rescore.  Cost: two [B*k, 1] LM scorings per
+    step (chosen-token advance + </s> probe)."""
     if use_pallas is None:
         use_pallas = pallas_topk.use_pallas_topk()
     if unroll is None:
@@ -111,6 +124,17 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         fin_tokens=jnp.zeros((B, max_len, k, max_len), jnp.int32),
         fin_scores=jnp.full((B, max_len, k), -jnp.inf, jnp.float32),
     )
+    if lm_track is not None:
+        from ..lm import device_ngram
+        dlm, tok2lm, lm_bos, lm_eos = lm_track
+        M1 = max(dlm.order - 1, 1)
+        lm_ctx0 = jnp.full((B * k, M1), -1, jnp.int32)
+        if dlm.order > 1:
+            lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos)   # bos=True chain
+        state0["lm_ctx"] = lm_ctx0
+        state0["lm_cum"] = jnp.zeros((B * k,), jnp.float32)
+        state0["fin_lm"] = jnp.zeros((B, max_len, k), jnp.float32)
+        eos_col = jnp.full((B * k, 1), lm_eos, jnp.int32)
 
     def cond(s):
         return (s["l"] < max_len) & ~s["done"]
@@ -204,6 +228,19 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
             s["fin_tokens"], hist_k, l, axis=1)
         fin_scores = jax.lax.dynamic_update_index_in_dim(
             s["fin_scores"], jnp.where(fmask, top_scores, -jnp.inf), l, axis=1)
+        if lm_track is not None:
+            # full-sentence LM total of each harvested hypothesis: the
+            # parent beam's cum chain + the </s> term in its context
+            # (reference model.py:755 scores the joined chars with
+            # bos=True, eos=True) — parent gather rides the same exact
+            # one-hot product as hist_k
+            eos_base = device_ngram.score_candidates(
+                dlm, s["lm_ctx"], eos_col)[:, 0]               # [B*k]
+            lm_tot = (s["lm_cum"] + eos_base).reshape(B, k)
+            lm_k = jnp.einsum("bik,bk->bi", top_oh, lm_tot,
+                              precision=jax.lax.Precision.HIGHEST)
+            fin_lm = jax.lax.dynamic_update_index_in_dim(
+                s["fin_lm"], jnp.where(fmask, lm_k, 0.0), l, axis=1)
 
         # ---- early stop (model.py:897-901) -------------------------------
         top_beam_finished = s["top_beam_finished"] | (top_tokens[:, 0] == eos)
@@ -249,7 +286,7 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(new_done, b, a), new, old)
 
-        return dict(
+        nxt = dict(
             l=l + 1,
             done=new_done,
             l_final=l_final,
@@ -261,6 +298,28 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
             fin_tokens=fin_tokens,
             fin_scores=fin_scores,
         )
+        if lm_track is not None:
+            # advance the passive chain along the surviving beams:
+            # cum = cum[sel] + base(chosen | ctx[sel]); window shifts.
+            # survivors are never eos (the rank trick picks non-eos), so
+            # the chain stays a plain word chain.
+            ctx3 = s["lm_ctx"].reshape(B, k, -1).astype(jnp.float32)
+            lm_ctx_sel = jnp.rint(jnp.einsum(
+                "bik,bkl->bil", sel_oh, ctx3,
+                precision=jax.lax.Precision.HIGHEST)
+            ).astype(jnp.int32).reshape(B * k, -1)
+            chosen_lm = tok2lm[k_toks.reshape(-1)].astype(jnp.int32)
+            base = device_ngram.score_candidates(
+                dlm, lm_ctx_sel, chosen_lm[:, None])[:, 0]
+            lm_cum_sel = jnp.einsum(
+                "bik,bk->bi", sel_oh, s["lm_cum"].reshape(B, k),
+                precision=jax.lax.Precision.HIGHEST).reshape(-1)
+            nxt["lm_cum"] = keep(lm_cum_sel + base, s["lm_cum"])
+            nxt["lm_ctx"] = keep(
+                device_ngram.advance_context(lm_ctx_sel, chosen_lm),
+                s["lm_ctx"])
+            nxt["fin_lm"] = fin_lm
+        return nxt
 
     def body_unrolled(s):
         # each sub-step is guarded: once done (or past max_len) the
@@ -285,7 +344,7 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
     # device->host transfer, which dominates end-to-end batch time through
     # the device tunnel when a second pass needs the full buffers
     tok_t = jnp.int16 if V <= 32767 else jnp.int32
-    return BeamResult(
+    res = BeamResult(
         fin_tokens=s["fin_tokens"].reshape(B, cap, max_len).astype(tok_t),
         fin_lens=fin_lens,
         fin_scores=fin_scores,
@@ -293,6 +352,9 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
         live_tokens=s["hist"][:, 1:].reshape(B, k, max_len).astype(tok_t),
         live_scores=s["logp_scores"].reshape(B, k),
         l_final=s["l_final"])
+    if lm_track is not None:
+        return res, s["fin_lm"].reshape(B, cap)
+    return res
 
 
 def _kernel_variant():

@@ -85,6 +85,14 @@ def rescore_select(res: BeamResult, dlm: device_ngram.DeviceNgramLM,
     lm_sc = score_sequences(dlm, toks_lm,
                             res.fin_lens.reshape(B * cap).astype(jnp.int32),
                             bos_id, eos_id).reshape(B, cap)
+    return select_rescored(res, lm_sc, lm_weight, length_weight)
+
+
+def select_rescored(res: BeamResult, lm_sc, lm_weight: float,
+                    length_weight: float) -> BestResult:
+    """The selection half, given per-slot LM totals (either computed
+    post-hoc by ``rescore_select`` or harvested in-loop by
+    ``beam_decode(lm_track=...)``)."""
     finite = jnp.isfinite(res.fin_scores)
     sel = jnp.where(finite,
                     res.fin_scores + lm_weight * lm_sc
@@ -126,3 +134,41 @@ def rescore_select_jit(res: BeamResult, dlm, tok2lm, lm_weight: float,
                        eos_id: int) -> BestResult:
     return _jitted(lm_weight, length_weight, bos_id, eos_id)(
         res, dlm, tok2lm)
+
+
+# --------------------------------------------------------------------------
+# the fully-fused product path: decode + passive LM track + selection in
+# ONE jitted program — zero host syncs between decode and rescore
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=32)
+def _jitted_tracked(cfg, bw: int, lm_weight: float, length_weight: float,
+                    bos_id: int, eos_id: int, use_pallas: bool,
+                    unroll: int, fused_logp: bool, variant=None):
+    from . import beam as beam_mod
+
+    def fn(params, feats, feat_lens, dlm, tok2lm):
+        res, fin_lm = beam_mod.beam_decode(
+            params, cfg, bw, feats, feat_lens, use_pallas=use_pallas,
+            unroll=unroll, fused_logp=fused_logp,
+            lm_track=(dlm, tok2lm, bos_id, eos_id))
+        return select_rescored(res, fin_lm, lm_weight, length_weight)
+
+    return jax.jit(fn)
+
+
+def beam_rescored_best_jit(params, cfg, bw: int, feats, feat_lens, dlm,
+                           tok2lm, lm_weight: float, length_weight: float,
+                           bos_id: int, eos_id: int) -> BestResult:
+    """Second-pass-rescored transcription as ONE compiled program: the
+    beam decode tracks LM chains passively, harvests full-sentence LM
+    totals, and selects the winner on device — only [B, max_len] rows
+    cross the host boundary and there is no decode->rescore round trip
+    (the `ASR(lm_mode="second")` serving fast path)."""
+    from ..ops.pallas import topk as pallas_topk
+    from . import beam as beam_mod
+    return _jitted_tracked(cfg, bw, lm_weight, length_weight, bos_id,
+                           eos_id, pallas_topk.use_pallas_topk(),
+                           beam_mod.beam_unroll(),
+                           pallas_topk.use_fused_logp(),
+                           beam_mod._kernel_variant())(
+        params, feats, feat_lens, dlm, tok2lm)

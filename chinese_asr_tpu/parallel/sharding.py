@@ -191,6 +191,31 @@ def make_sharded_lm_fused_best(cfg: Config, bw: int, params, mesh: Mesh,
                                      NamedSharding(mesh, P())))
 
 
+def make_sharded_beam_rescored(cfg: Config, bw: int, params, mesh: Mesh,
+                               dlm, lm_bos: int, lm_eos: int):
+    """Sharded fused decode + passive LM track + rescored winner
+    selection — the ``ASR(lm_mode="second")`` serving fast path on a
+    mesh (LM tables replicated, batch/beam dims sharded, only
+    [B, max_len] winner rows leave the devices)."""
+    from ..decode import beam as beam_mod
+    from ..decode import rescore as rescore_mod
+
+    psh = _named(mesh, param_pspecs(params, cfg))
+    d = NamedSharding(mesh, P(cfg.mesh.data_axis))
+    rep = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), (dlm,))[0]
+
+    def fn(params, feats, feat_lens, dlm, tok2lm):
+        res, fin_lm = beam_mod.beam_decode(
+            params, cfg, bw, feats, feat_lens,
+            lm_track=(dlm, tok2lm, lm_bos, lm_eos))
+        return rescore_mod.select_rescored(
+            res, fin_lm, cfg.decode.lm_weight, cfg.decode.length_weight)
+
+    return jax.jit(fn, in_shardings=(psh, d, d, rep,
+                                     NamedSharding(mesh, P())))
+
+
 def make_sharded_beam_best(cfg: Config, bw: int, params, mesh: Mesh):
     """Sharded fused decode + on-device best selection — the serving fast
     path (api._decode_dispatch) on a mesh: only [B, max_len] rows leave

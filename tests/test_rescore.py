@@ -90,6 +90,50 @@ def test_rescore_select_matches_host_finalize(tmp_path, seed):
     np.testing.assert_allclose(dev.score, host.score, atol=2e-4)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_tracked_rescore_matches_host_and_posthoc(tmp_path, seed):
+    """The fully-fused path (beam_decode(lm_track=...) + select in one
+    program) == the host oracle == the post-hoc compact+rescore path,
+    and the passive LM track leaves the acoustic decode bit-identical."""
+    rng = np.random.RandomState(60 + seed)
+    cfg = SMALL
+    vocab = make_vocab()
+    path = random_trigram_arpa(tmp_path, rng, 60 + seed)
+    lm = ngram.NgramLM(path)
+    dlm = _build(path, "tuple" if lm._py is not None else "hashed")
+    tok2lm = jnp.asarray(dlm.token_id_table(vocab))
+    bos, eos = (int(x) for x in dlm.word_ids(["<s>", "</s>"]))
+    params = las.init_params(jax.random.PRNGKey(seed), cfg)
+    feats, lens = inputs(cfg, seed=seed, B=4)
+    w_lm, w_len = cfg.decode.lm_weight, cfg.decode.length_weight
+
+    res = beam.beam_decode(params, cfg, 3, feats, lens)
+    res_t, fin_lm = beam.beam_decode(params, cfg, 3, feats, lens,
+                                     lm_track=(dlm, tok2lm, bos, eos))
+    np.testing.assert_array_equal(np.asarray(res.fin_tokens),
+                                  np.asarray(res_t.fin_tokens))
+    np.testing.assert_array_equal(np.asarray(res.fin_scores),
+                                  np.asarray(res_t.fin_scores))
+    np.testing.assert_array_equal(np.asarray(res.live_tokens),
+                                  np.asarray(res_t.live_tokens))
+
+    best = rescore.beam_rescored_best_jit(params, cfg, 3, feats, lens,
+                                          dlm, tok2lm, w_lm, w_len, bos,
+                                          eos)
+    dev = beam.finalize_best(best, vocab)
+    host = beam.finalize_beam(
+        beam.compact_nbest(res, bucket=4), cfg, vocab, lm_model=lm,
+        second_pass=True, lm_weight=w_lm, length_weight=w_len)
+    assert dev.pred_text == host.pred_text
+    np.testing.assert_allclose(dev.score, host.score, atol=2e-4)
+
+    posthoc = beam.finalize_best(rescore.rescore_select_jit(
+        beam.compact_nbest(res, bucket=4), dlm, tok2lm, w_lm, w_len,
+        bos, eos), vocab)
+    assert dev.pred_text == posthoc.pred_text
+    np.testing.assert_allclose(dev.score, posthoc.score, atol=2e-4)
+
+
 def test_rescore_crafted_buffers_incl_len0_and_fallback(tmp_path):
     """Synthetic BeamResult exercising what random decodes may miss: a
     length-0 finished hypothesis (scored as just </s> after <s>), LM
