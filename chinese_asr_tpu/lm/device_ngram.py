@@ -26,13 +26,18 @@ Design notes (TPU-first):
   control flow (static shapes).
 - Each level is ONE packed int32 array ``tbl[cap + P - 1, k + 2]``:
   the k key columns, then logp/backoff bitcast to int32.  The first
-  P-1 rows are re-appended past the end so a probe window never wraps,
-  and a lookup is a single ``lax.gather`` of contiguous ``[P, k+2]``
-  windows — ONE gather descriptor per query.  TPU gathers of tiny rows
-  are descriptor-latency-bound, not bandwidth-bound (the round-4 trace
-  priced the old P-separate-row-fetches + value-gather formulation at
-  ~60% of the fused decode loop), so collapsing P probes + the value
-  fetch into one contiguous window is the whole game.
+  P-1 rows are re-appended past the end so a probe window never wraps
+  (no ``& (cap-1)`` per probe slot), and each probe fetches keys AND
+  values in one plain ROW gather (slice (1, k+2)) — the round-4
+  separate key/value gathers were ~60% of the fused decode loop, and a
+  single multi-row window gather (slice (P, k+2)) is a measured 4.7x
+  NEGATIVE (see `_lookup`'s docstring).
+- Lane-efficiency rule (round 5b): every elementwise op of the lookup
+  runs on [P, N] / [N] planes with the flattened query axis minor —
+  the gathered [P*N, k+2] window transposes ONCE to [k+2, P, N].  The
+  earlier [..., P, k] stacked math left compares in vregs at <1% lane
+  utilization and was the single largest op of the fused decode
+  (trace: 1.19 ms/step of a 3.1 ms/step loop).
 - Stored keys are unique, so at most one probe slot can match: the hit
   row's value is a masked SUM over the window (int32 bit patterns,
   zero identity) — no argmax, no second gather.
@@ -49,6 +54,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -56,6 +62,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ngram import PyNgramLM
+
+
+def _use_planes() -> bool:
+    """Probe-math layout: ``planes`` (default) runs every elementwise op
+    of the lookup on arrays whose minor dim is the flattened query axis
+    (full 128-lane vregs); ``stacked`` keeps the round-5 [..., P, k]
+    formulation whose tiny minor dims the trace priced at <1% lane
+    utilization (fusion.230: 656k estimated cycles for 327k compares).
+    Env ``CHINESE_ASR_DLM_LAYOUT=stacked`` restores the old math for
+    in-process A/Bs; outputs are bit-identical (same gathers, same hash,
+    same masked-sum order — pinned by test_device_ngram)."""
+    return os.environ.get("CHINESE_ASR_DLM_LAYOUT", "planes") != "stacked"
 
 _FNV_OFFSET = np.uint32(2166136261)
 _FNV_PRIME = np.uint32(16777619)
@@ -97,6 +115,24 @@ def _hash_jnp(keys: jnp.ndarray) -> jnp.ndarray:
 _TARGET_PROBES = 4
 _MEM_CAP = 512 << 20
 
+# Wide-window packing: the probe gather is DESCRIPTOR-latency-bound
+# (round-5b trace: the [P*N] row gather alone is 1.4 ms/step of a
+# 3.1 ms/step fused-decode loop at N=40960, P=4 — identical total
+# whether the compares are lane-efficient or not), so the build can
+# additionally duplicate each slot's whole forward window into ONE row
+# of width P*(k+2): a lookup then issues N descriptors instead of P*N.
+# Memory cost is x P per level, so it is gated (per level) at
+# _WIDE_MEM_CAP bytes; oversized levels keep the narrow layout and its
+# P-row gathers.  NOTE a multi-ROW slice gather (slice_sizes=(P, k+2))
+# is NOT an alternative — measured 4.7x negative (see `_lookup`).
+# Env CHINESE_ASR_DLM_WIDE=0 keeps every level narrow (A/B knob; wide
+# and narrow score bit-identically, pinned by test).
+_WIDE_MEM_CAP = 256 << 20
+
+
+def _use_wide() -> bool:
+    return os.environ.get("CHINESE_ASR_DLM_WIDE", "1") != "0"
+
 
 def _build_table(keys: np.ndarray, vals: np.ndarray):
     """Host-side linear-probing build, vectorized (production LMs carry
@@ -126,7 +162,12 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
         if (built[2] <= _TARGET_PROBES or cap >= cap0 * 4
                 or cap * (k + 2) * 4 * 2 > _MEM_CAP):
             ids, tv, probes = best
-            return _pack_table(ids, tv, probes), probes
+            tbl = _pack_table(ids, tv, probes)
+            if (probes > 1 and _use_wide()
+                    and ids.shape[0] * probes * (k + 2) * 4
+                    <= _WIDE_MEM_CAP):
+                tbl = _pack_wide(tbl, probes, k)
+            return tbl, probes
         cap *= 2
 
 
@@ -138,6 +179,16 @@ def _pack_table(ids: np.ndarray, tv: np.ndarray, probes: int) -> np.ndarray:
     if probes > 1:
         tbl = np.concatenate([tbl, tbl[: probes - 1]], axis=0)
     return np.ascontiguousarray(tbl)
+
+
+def _pack_wide(tbl: np.ndarray, probes: int, k: int) -> np.ndarray:
+    """Narrow packed [cap + P - 1, k + 2] -> wide [cap, P * (k + 2)]:
+    row i holds slots i..i+P-1 concatenated (p-major), so a probe
+    window is ONE row gather (see _WIDE_MEM_CAP note)."""
+    cap = tbl.shape[0] - (probes - 1)
+    idx = np.arange(cap)[:, None] + np.arange(probes)[None, :]
+    return np.ascontiguousarray(
+        tbl[idx].reshape(cap, probes * (k + 2)))
 
 
 def _build_table_at(keys: np.ndarray, vals: np.ndarray, cap: int):
@@ -405,35 +456,100 @@ def _lookup(tbl, probes: int, keys):
     dynamic-slices (the trace shows a nested `while.9` at 564 ms/run
     plus 527 ms of dynamic-slice fusions), while standard row gathers
     (slice_sizes=(1, row)) take the fast vectorized path."""
-    k = keys.shape[-1]
+    return _lookup_cols(tbl, probes,
+                        [keys[..., j] for j in range(keys.shape[-1])])
+
+
+def _hash_cols(cols) -> jnp.ndarray:
+    """:func:`_hash_jnp` over a list of same-shaped id plane arrays."""
+    h = jnp.full(cols[0].shape, _FNV_OFFSET, jnp.uint32)
+    for c in cols:
+        h = (h ^ c.astype(jnp.uint32)) * _FNV_PRIME
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _lookup_cols(tbl, probes: int, cols):
+    """:func:`_lookup` with the key COLUMNS as separate plane arrays
+    (shape [...] each) — the callers' natural form (the hashed path
+    carries g_hi/g_lo planes; the tuple path broadcasts context
+    columns), so no [..., k] stack is ever materialized.
+
+    Layout rule (the whole point — trace round 5b): every elementwise
+    op here runs on [P, N] / [N] arrays with the flattened query axis
+    N minor, so vregs are full 128-lane; the round-5 stacked
+    [..., P, k] formulation left compares at <1% utilization and was
+    the single largest op of the fused LM decode (fusion.230,
+    1.19 ms/step of a 3.1 ms/step loop).  The gathered [P*N, k+2]
+    window is transposed once to [k+2, P, N] planes; XLA fuses that
+    relayout into the gather."""
+    k = len(cols)
     P = probes
-    h = (_hash_jnp(keys) & jnp.uint32(tbl.shape[0] - (P - 1) - 1)) \
-        .astype(jnp.int32)
-    slots = h[..., None] + jnp.arange(P, dtype=jnp.int32)  # [..., P]
-    win = tbl[slots]                                       # [..., P, k+2]
-    hit_p = jnp.all(win[..., :k] == keys[..., None, :], axis=-1)  # [..., P]
-    hit = jnp.any(hit_p, axis=-1)
-    v = jnp.where(hit_p[..., None], win[..., k:], 0).sum(axis=-2)
-    v = jax.lax.bitcast_convert_type(v, jnp.float32)       # [..., 2]
-    return hit, v[..., 0], v[..., 1]
+    wide = P > 1 and tbl.shape[1] == P * (k + 2)   # see _pack_wide
+    cap_mask = jnp.uint32(tbl.shape[0] - 1 if wide
+                          else tbl.shape[0] - (P - 1) - 1)
+    shape = cols[0].shape
+    flat = [c.reshape(-1) for c in cols]                   # k × [N]
+    N = flat[0].shape[0] if flat[0].ndim else 1
+    if not _use_planes():
+        keys = jnp.stack(cols, axis=-1)
+        h = (_hash_jnp(keys) & cap_mask).astype(jnp.int32)
+        if wide:
+            win = tbl[h].reshape(*h.shape, P, k + 2)       # [..., P, k+2]
+        else:
+            slots = h[..., None] + jnp.arange(P, dtype=jnp.int32)
+            win = tbl[slots]                               # [..., P, k+2]
+        hit_p = jnp.all(win[..., :k] == keys[..., None, :], axis=-1)
+        hit = jnp.any(hit_p, axis=-1)
+        v = jnp.where(hit_p[..., None], win[..., k:], 0).sum(axis=-2)
+        v = jax.lax.bitcast_convert_type(v, jnp.float32)   # [..., 2]
+        return hit, v[..., 0], v[..., 1]
+    h = (_hash_cols(flat) & cap_mask).astype(jnp.int32)    # [N]
+    if wide:
+        win = jnp.take(tbl, h, axis=0)                     # [N, P*(k+2)]
+        planes = win.reshape(N, P, k + 2).transpose(2, 1, 0)
+    else:
+        slots = (jnp.arange(P, dtype=jnp.int32)[:, None]
+                 + h[None, :]).reshape(-1)                 # [P*N] p-major
+        win = jnp.take(tbl, slots, axis=0)                 # [P*N, k+2]
+        planes = win.T.reshape(k + 2, P, N)                # [k+2, P, N]
+    hit_p = planes[0] == flat[0][None, :]
+    for j in range(1, k):
+        hit_p = hit_p & (planes[j] == flat[j][None, :])    # [P, N]
+    hit = jnp.any(hit_p, axis=0)                           # [N]
+    v0 = jnp.where(hit_p, planes[k], 0).sum(axis=0)        # [N] i32
+    v1 = jnp.where(hit_p, planes[k + 1], 0).sum(axis=0)
+    lp = jax.lax.bitcast_convert_type(v0, jnp.float32)
+    bo = jax.lax.bitcast_convert_type(v1, jnp.float32)
+    return hit.reshape(shape), lp.reshape(shape), bo.reshape(shape)
 
 
 def _lookup_uni(uni, key1):
     """Dense level-1 lookup.  key1 [...] int32 word ids (may be -1 /
     out-of-range) -> (hit, logp, backoff); absent slots hold NaN logp
-    (see `_build_dense_uni`)."""
+    (see `_build_dense_uni`).  Same layout rule as `_lookup_cols`: the
+    fetched [N, 2] rows transpose to two [N] planes before any
+    elementwise math."""
+    shape = key1.shape
     capu = uni.shape[0]
-    v = uni[jnp.clip(key1, 0, capu - 1)]                 # [..., 2]
-    hit = (key1 >= 0) & (key1 < capu) & ~jnp.isnan(v[..., 0])
-    return hit, v[..., 0], jnp.where(hit, v[..., 1], 0.0)
+    k1 = key1.reshape(-1)                                # [N]
+    v = jnp.take(uni, jnp.clip(k1, 0, capu - 1), axis=0).T   # [2, N]
+    hit = (k1 >= 0) & (k1 < capu) & ~jnp.isnan(v[0])
+    return (hit.reshape(shape), v[0].reshape(shape),
+            jnp.where(hit, v[1], 0.0).reshape(shape))
 
 
-def _lookup_level(lm: "DeviceNgramLM", k: int, keys):
-    """Level-k (0-based) lookup; level 0 takes the dense path when the
-    LM carries one (hand-constructed tables may not)."""
+def _lookup_level(lm: "DeviceNgramLM", k: int, cols):
+    """Level-k (0-based) lookup over key COLUMN planes; level 0 takes
+    the dense path when the LM carries one (hand-constructed tables may
+    not)."""
     if k == 0 and lm.uni is not None:
-        return _lookup_uni(lm.uni, keys[..., 0])
-    return _lookup(lm.tbls[k], lm.probes[k], keys)
+        return _lookup_uni(lm.uni, cols[0])
+    return _lookup_cols(lm.tbls[k], lm.probes[k], cols)
 
 
 def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
@@ -458,7 +574,7 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
         valid = [None]
         g_hi = jnp.zeros_like(cw)
         g_lo = cw
-        gram_keys = [cand_ids[..., None]]                  # level 1: [id]
+        gram_keys = [[cand_ids]]                           # level 1: [id]
         c_hi = c_lo = None
         ctx_keys = [None]                                  # 1-indexed pad
         for k in range(1, M):
@@ -466,16 +582,14 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
             valid.append(w_k >= 0)
             wk_u = w_k.astype(jnp.uint32)
             g_hi, g_lo = _combine_word_hash(g_hi, g_lo, wk_u[..., None])
-            gram_keys.append(jnp.stack(
-                [_u32_to_i32(g_hi), _u32_to_i32(g_lo)], axis=-1))
+            gram_keys.append([_u32_to_i32(g_hi), _u32_to_i32(g_lo)])
             if k == 1:
-                ctx_keys.append(w_k[..., None].astype(jnp.int32))
+                ctx_keys.append([w_k.astype(jnp.int32)])
                 c_hi = jnp.zeros_like(wk_u)
                 c_lo = wk_u
             else:
                 c_hi, c_lo = _combine_word_hash(c_hi, c_lo, wk_u)
-                ctx_keys.append(jnp.stack(
-                    [_u32_to_i32(c_hi), _u32_to_i32(c_lo)], axis=-1))
+                ctx_keys.append([_u32_to_i32(c_hi), _u32_to_i32(c_lo)])
         bo_hit, bo_val = [], []
         for k in range(1, M):
             h, _lp, bo = _lookup_level(lm, k - 1, ctx_keys[k])
@@ -493,19 +607,17 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
         # uses the last k context words
         bo_hit, bo_val = [], []
         for k in range(1, M):
-            h, _lp, bo = _lookup_level(lm, k - 1, ctx_ids[..., M - 1 - k:])
+            cols = [ctx_ids[..., j] for j in range(M - 1 - k, M - 1)]
+            h, _lp, bo = _lookup_level(lm, k - 1, cols)
             bo_hit.append(h)
             bo_val.append(jnp.where(h, bo, 0.0))
         # gram lookups: level k keys = (last k context words, candidate)
         gram = []
         for k in range(M):
-            if k == 0:
-                keys = cand_ids[..., None]                 # [Q, C, 1]
-            else:
-                ctx_k = jnp.broadcast_to(ctx_ids[..., None, M - 1 - k:],
-                                         (*cand_ids.shape, k))
-                keys = jnp.concatenate([ctx_k, cand_ids[..., None]], axis=-1)
-            gram.append(_lookup_level(lm, k, keys))
+            cols = [jnp.broadcast_to(ctx_ids[..., j][..., None],
+                                     cand_ids.shape)
+                    for j in range(M - 1 - k, M - 1)] + [cand_ids]
+            gram.append(_lookup_level(lm, k, cols))
     # longest hitting level wins; add the backoffs of every existing
     # context LONGER than the match (the host scorers' shrinking loop)
     S = jnp.zeros(cand_ids.shape, jnp.float32)

@@ -334,3 +334,68 @@ def test_build_table_targets_probe_count():
     hit, lp, bo = _lookup(jnp.asarray(tbl), probes, jnp.asarray(keys[:500]))
     assert bool(np.asarray(hit).all())
     np.testing.assert_array_equal(np.asarray(lp), vals[:500, 0])
+
+
+def test_probe_layouts_bit_identical(tmp_path, monkeypatch):
+    """planes (default) vs stacked probe math: same gathers, same hash,
+    same masked-sum — scores must be BIT-identical on both key layouts
+    (CHINESE_ASR_DLM_LAYOUT is an A/B knob, not a semantics switch)."""
+    rng = np.random.RandomState(47)
+    path, vocab = _random_arpa(tmp_path, rng, 400)
+    py = ngram.PyNgramLM(path)
+    for mk in (DeviceNgramLM.from_arpa, DeviceNgramLM.from_path):
+        dev = mk(path)
+        words = vocab + ["oovword", "<unk>", "</s>", "<s>"]
+        ctx_dev, _ctx_py, _cand_w, cand_dev = _pairs(rng, py, dev,
+                                                     dev.order, Q=16, C=6,
+                                                     words=words)
+        monkeypatch.delenv("CHINESE_ASR_DLM_LAYOUT", raising=False)
+        a = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                        jnp.asarray(cand_dev)))
+        monkeypatch.setenv("CHINESE_ASR_DLM_LAYOUT", "stacked")
+        b = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                        jnp.asarray(cand_dev)))
+        monkeypatch.delenv("CHINESE_ASR_DLM_LAYOUT", raising=False)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_wide_window_packing_bit_identical(tmp_path, monkeypatch):
+    """Wide-window tables (one row gather per probe window,
+    CHINESE_ASR_DLM_WIDE default) vs narrow tables: same hash, same
+    slots, same unique hit -> scores must be BIT-identical; and the
+    per-level memory gate must leave oversized levels narrow."""
+    from chinese_asr_tpu.lm.device_ngram import (_WIDE_MEM_CAP,
+                                                 _build_table, _lookup)
+    rng = np.random.RandomState(53)
+    path, vocab = _random_arpa(tmp_path, rng, 500)
+    py = ngram.PyNgramLM(path)
+    monkeypatch.delenv("CHINESE_ASR_DLM_WIDE", raising=False)
+    dev_w = DeviceNgramLM.from_arpa(path)
+    monkeypatch.setenv("CHINESE_ASR_DLM_WIDE", "0")
+    dev_n = DeviceNgramLM.from_arpa(path)
+    monkeypatch.delenv("CHINESE_ASR_DLM_WIDE", raising=False)
+    # at least one level should actually have taken the wide layout
+    widened = [kk for kk in range(dev_w.order)
+               if dev_w.tbls[kk].shape != dev_n.tbls[kk].shape]
+    assert widened, "no level widened; the gate or the build regressed"
+    words = vocab + ["oovword", "<unk>", "</s>", "<s>"]
+    ctx_dev, _ctx_py, _cand_w, cand_dev = _pairs(rng, py, dev_w,
+                                                 dev_w.order, Q=16, C=6,
+                                                 words=words)
+    a = np.asarray(score_candidates(dev_w, jnp.asarray(ctx_dev),
+                                    jnp.asarray(cand_dev)))
+    b = np.asarray(score_candidates(dev_n, jnp.asarray(ctx_dev),
+                                    jnp.asarray(cand_dev)))
+    np.testing.assert_array_equal(a, b)
+    # the memory gate: a synthetic level over the wide cap stays narrow
+    n = 64
+    keys = np.unique(rng.randint(0, 2**31 - 1, size=(n, 2),
+                                 dtype=np.int32), axis=0)
+    vals = rng.randn(len(keys), 2).astype(np.float32)
+    monkeypatch.setattr("chinese_asr_tpu.lm.device_ngram._WIDE_MEM_CAP", 16)
+    tbl_small_cap, probes = _build_table(keys, vals)
+    if probes > 1:
+        assert tbl_small_cap.shape[1] == keys.shape[1] + 2  # narrow
+    hit, lp, _ = _lookup(jnp.asarray(tbl_small_cap), probes,
+                         jnp.asarray(keys))
+    assert bool(np.asarray(hit).all())
