@@ -118,20 +118,49 @@ _MEM_CAP = 512 << 20
 # Wide-window packing: the probe gather is DESCRIPTOR-latency-bound
 # (round-5b trace: the [P*N] row gather alone is 1.4 ms/step of a
 # 3.1 ms/step fused-decode loop at N=40960, P=4 — identical total
-# whether the compares are lane-efficient or not), so the build can
-# additionally duplicate each slot's whole forward window into ONE row
-# of width P*(k+2): a lookup then issues N descriptors instead of P*N.
-# Memory cost is x P per level, so it is gated (per level) at
-# _WIDE_MEM_CAP bytes; oversized levels keep the narrow layout and its
-# P-row gathers.  NOTE a multi-ROW slice gather (slice_sizes=(P, k+2))
-# is NOT an alternative — measured 4.7x negative (see `_lookup`).
+# whether the compares are lane-efficient or not), so LM assembly can
+# duplicate each slot's whole forward window into ONE row of width
+# P*(k+2): a lookup then issues N descriptors instead of P*N.  Memory
+# cost is x P per level, so levels widen SMALLEST-FIRST until the
+# widened tables total _WIDE_TOTAL_CAP bytes (v5e carries 16 GB HBM;
+# the model itself is ~60 MB — descriptors are the scarce resource,
+# not memory); oversized levels keep the narrow layout and its P-row
+# gathers.  NOTE a multi-ROW slice gather (slice_sizes=(P, k+2)) is
+# NOT an alternative — measured 4.7x negative (see `_lookup`).
 # Env CHINESE_ASR_DLM_WIDE=0 keeps every level narrow (A/B knob; wide
 # and narrow score bit-identically, pinned by test).
-_WIDE_MEM_CAP = 256 << 20
+_WIDE_TOTAL_CAP = 2 << 30
 
 
 def _use_wide() -> bool:
     return os.environ.get("CHINESE_ASR_DLM_WIDE", "1") != "0"
+
+
+def _widen_tables(tbls, probes, skip=(), budget: int = None):
+    """Widen narrow packed numpy tables smallest-first within a total
+    byte budget.  tbls: list of [cap + P - 1, k + 2] arrays; levels in
+    ``skip`` (e.g. a dense-unigram level the lookup never probes) stay
+    narrow.  Returns a new list; widened level i becomes
+    [cap, P*(k+2)] (see `_pack_wide`)."""
+    if not _use_wide():
+        return list(tbls)
+    if budget is None:
+        budget = _WIDE_TOTAL_CAP
+    out = list(tbls)
+    order = sorted(range(len(tbls)),
+                   key=lambda i: tbls[i].nbytes * probes[i])
+    spent = 0
+    for i in order:
+        if i in skip or probes[i] <= 1:
+            continue
+        k = tbls[i].shape[1] - 2
+        wide_bytes = (tbls[i].shape[0] - (probes[i] - 1)) \
+            * probes[i] * (k + 2) * 4
+        if spent + wide_bytes > budget:
+            continue
+        out[i] = _pack_wide(tbls[i], probes[i], k)
+        spent += wide_bytes
+    return out
 
 
 def _build_table(keys: np.ndarray, vals: np.ndarray):
@@ -162,12 +191,7 @@ def _build_table(keys: np.ndarray, vals: np.ndarray):
         if (built[2] <= _TARGET_PROBES or cap >= cap0 * 4
                 or cap * (k + 2) * 4 * 2 > _MEM_CAP):
             ids, tv, probes = best
-            tbl = _pack_table(ids, tv, probes)
-            if (probes > 1 and _use_wide()
-                    and ids.shape[0] * probes * (k + 2) * 4
-                    <= _WIDE_MEM_CAP):
-                tbl = _pack_wide(tbl, probes, k)
-            return tbl, probes
+            return _pack_table(ids, tv, probes), probes
         cap *= 2
 
 
@@ -341,10 +365,12 @@ class DeviceNgramLM:
                 keys_np = np.zeros((0, k + 1), np.int32)
                 vals_np = np.zeros((0, 2), np.float32)
             t, p = _build_table(keys_np, vals_np)
-            tbls.append(jnp.asarray(t))
+            tbls.append(t)
             probes.append(p)
             if k == 0:
                 uni = jnp.asarray(_build_dense_uni(keys_np[:, 0], vals_np))
+        tbls = [jnp.asarray(t)
+                for t in _widen_tables(tbls, probes, skip=(0,))]
         return cls(order, tbls, probes, word2id["<unk>"], word2id,
                    uni=uni)
 
@@ -371,10 +397,12 @@ class DeviceNgramLM:
                                 axis=1)
             vals_np = np.stack([prob, bo], axis=1).astype(np.float32)
             t, p = _build_table(np.ascontiguousarray(keys), vals_np)
-            tbls.append(jnp.asarray(t))
+            tbls.append(t)
             probes.append(p)
             if k == 1:
                 uni = jnp.asarray(_build_dense_uni(keys[:, 0], vals_np))
+        tbls = [jnp.asarray(t)
+                for t in _widen_tables(tbls, probes, skip=(0,))]
         unk_id = int(lm.word_ids(["<unk>"])[0])
         obj = cls(order, tbls, probes, unk_id, None, hashed=True,
                   uni=uni)

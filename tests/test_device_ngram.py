@@ -363,9 +363,9 @@ def test_wide_window_packing_bit_identical(tmp_path, monkeypatch):
     """Wide-window tables (one row gather per probe window,
     CHINESE_ASR_DLM_WIDE default) vs narrow tables: same hash, same
     slots, same unique hit -> scores must be BIT-identical; and the
-    per-level memory gate must leave oversized levels narrow."""
-    from chinese_asr_tpu.lm.device_ngram import (_WIDE_MEM_CAP,
-                                                 _build_table, _lookup)
+    total-byte budget must leave oversized levels narrow."""
+    from chinese_asr_tpu.lm.device_ngram import (_build_table, _lookup,
+                                                 _widen_tables)
     rng = np.random.RandomState(53)
     path, vocab = _random_arpa(tmp_path, rng, 500)
     py = ngram.PyNgramLM(path)
@@ -387,15 +387,20 @@ def test_wide_window_packing_bit_identical(tmp_path, monkeypatch):
     b = np.asarray(score_candidates(dev_n, jnp.asarray(ctx_dev),
                                     jnp.asarray(cand_dev)))
     np.testing.assert_array_equal(a, b)
-    # the memory gate: a synthetic level over the wide cap stays narrow
-    n = 64
+    # the budget gate: under a tiny total budget every level stays
+    # narrow; with room, smallest-first widening engages and widened
+    # tables still look up every stored key
+    n = 2000
     keys = np.unique(rng.randint(0, 2**31 - 1, size=(n, 2),
                                  dtype=np.int32), axis=0)
     vals = rng.randn(len(keys), 2).astype(np.float32)
-    monkeypatch.setattr("chinese_asr_tpu.lm.device_ngram._WIDE_MEM_CAP", 16)
-    tbl_small_cap, probes = _build_table(keys, vals)
+    tbl, probes = _build_table(keys, vals)
+    assert tbl.shape[1] == keys.shape[1] + 2        # build stays narrow
+    kept = _widen_tables([tbl], [probes], budget=16)
+    assert kept[0].shape == tbl.shape
+    wide = _widen_tables([tbl], [probes], budget=1 << 30)
     if probes > 1:
-        assert tbl_small_cap.shape[1] == keys.shape[1] + 2  # narrow
-    hit, lp, _ = _lookup(jnp.asarray(tbl_small_cap), probes,
-                         jnp.asarray(keys))
+        assert wide[0].shape[1] == probes * (keys.shape[1] + 2)
+    hit, lp, _ = _lookup(jnp.asarray(wide[0]), probes, jnp.asarray(keys))
     assert bool(np.asarray(hit).all())
+    np.testing.assert_array_equal(np.asarray(lp), vals[:, 0])
