@@ -123,11 +123,15 @@ def test_microbatcher_sheds_load_when_queue_full():
 
     from chinese_asr_tpu.serve import MicroBatcher, Overloaded
 
+    entered = threading.Event()   # worker is inside decode #1
+    release = threading.Event()   # let decode #1 finish
+
     class SlowASR:
         cfg = _small_cfg()
 
         def transcribe_wavs(self, wavs, max_batch=128, scales=None):
-            time.sleep(0.25)
+            entered.set()
+            release.wait(timeout=30)
             return ["x"] * len(wavs)
 
     mb = MicroBatcher(SlowASR(), max_batch=1, window_ms=0.0,
@@ -136,11 +140,18 @@ def test_microbatcher_sheds_load_when_queue_full():
     done = []
     ths = [threading.Thread(target=lambda: done.append(mb.submit(wav, 1.0)))
            for _ in range(3)]
-    for t in ths:
+    ths[0].start()
+    assert entered.wait(timeout=30)     # worker holds #1 in decode...
+    for t in ths[1:]:
         t.start()
-    time.sleep(0.1)      # worker holds #1 in decode; #2/#3 fill the queue
+    for _ in range(3000):               # ...while #2/#3 fill the queue
+        if mb._q.qsize() >= 2:
+            break
+        time.sleep(0.01)
+    assert mb._q.qsize() >= 2
     with pytest.raises(Overloaded):
         mb.submit(wav, 1.0)
+    release.set()
     for t in ths:
         t.join(timeout=30)
     assert done == ["x"] * 3      # queued requests still complete
