@@ -136,6 +136,28 @@ def _use_wide() -> bool:
     return os.environ.get("CHINESE_ASR_DLM_WIDE", "1") != "0"
 
 
+# Context-gated probing: ARPA/kenlm models guarantee that every n-gram's
+# (n-1)-word prefix context is itself an entry (kenlm's builder never
+# prunes a retained n-gram's context; its loaders assume the property —
+# reference model.py:1182-1194 scores through exactly such lookups).
+# Under that property a level-k gram probe can only HIT when the level-k
+# context lookup (already computed for the backoff chain, [Q] queries —
+# 20x fewer than the [Q, C] gram probes) hit, so the gram probe's hash
+# slot is REDIRECTED to row 0 and its hit forced False wherever the
+# context missed.  The descriptor COUNT is unchanged, but redirected
+# descriptors all fetch one hot row instead of random HBM rows — and the
+# probe is descriptor-LATENCY-bound with a measured ~4x gap between
+# random rows in big vs small tables (PERF.md round 5b) — so gating is
+# worth most exactly where the tables are biggest and the miss rate
+# highest (pruned high orders).  `ctx_gated` is verified at build time
+# for ARPA text (set False for property-violating models, e.g. the
+# pruned-holes fuzz ARPAs) and True for kenlm binaries by construction.
+# Env CHINESE_ASR_DLM_GATE=0 disables the redirect for A/Bs; gated and
+# ungated score bit-identically on property-holding models (by test).
+def _use_gate() -> bool:
+    return os.environ.get("CHINESE_ASR_DLM_GATE", "1") != "0"
+
+
 def _widen_tables(tbls, probes, skip=(), budget: int = None):
     """Widen narrow packed numpy tables smallest-first within a total
     byte budget.  tbls: list of [cap + P - 1, k + 2] arrays; levels in
@@ -324,7 +346,7 @@ class DeviceNgramLM:
 
     def __init__(self, order: int, tbls, probes, unk_id: int,
                  word2id: Dict[str, int] = None, hashed: bool = False,
-                 uni=None):
+                 uni=None, ctx_gated: bool = False):
         self.order = order
         self.tbls = tuple(tbls)     # tbls[k][cap_k + P_k - 1, kcols + 2]
         self.probes = tuple(probes)
@@ -332,6 +354,7 @@ class DeviceNgramLM:
         self.word2id = word2id
         self.hashed = hashed
         self.uni = uni              # dense [max_id+1, 2], NaN = absent
+        self.ctx_gated = ctx_gated  # context property verified (see _use_gate)
         self._host_lm = None        # set by from_lm (host-only)
         self._bos_id = None if word2id is None else \
             word2id.get("<s>", unk_id)
@@ -371,8 +394,20 @@ class DeviceNgramLM:
                 uni = jnp.asarray(_build_dense_uni(keys_np[:, 0], vals_np))
         tbls = [jnp.asarray(t)
                 for t in _widen_tables(tbls, probes, skip=(0,))]
+        # context property over the tables AS BUILT (per_order filters
+        # n-grams containing words with no unigram, so check the stored
+        # id tuples, not py.grams): level-k key's (k-1)-prefix must be a
+        # level-(k-1) entry for the probe gate to be sound
+        gated = True
+        prev = {(r[0][0],) for r in per_order[0]}
+        for k in range(1, order):
+            cur = {tuple(r[0]) for r in per_order[k]}
+            if any(key[:-1] not in prev for key in cur):
+                gated = False
+                break
+            prev = cur
         return cls(order, tbls, probes, word2id["<unk>"], word2id,
-                   uni=uni)
+                   uni=uni, ctx_gated=gated)
 
     @classmethod
     def from_lm(cls, lm) -> "DeviceNgramLM":
@@ -405,7 +440,7 @@ class DeviceNgramLM:
                 for t in _widen_tables(tbls, probes, skip=(0,))]
         unk_id = int(lm.word_ids(["<unk>"])[0])
         obj = cls(order, tbls, probes, unk_id, None, hashed=True,
-                  uni=uni)
+                  uni=uni, ctx_gated=bool(lm.context_property()))
         obj._host_lm = lm
         obj._bos_id = int(lm.word_ids(["<s>"])[0])
         return obj
@@ -447,14 +482,14 @@ class DeviceNgramLM:
 
 def _tree_flatten(lm: DeviceNgramLM):
     return ((lm.tbls, lm.uni),
-            (lm.order, lm.probes, lm.unk_id, lm.hashed))
+            (lm.order, lm.probes, lm.unk_id, lm.hashed, lm.ctx_gated))
 
 
 def _tree_unflatten(aux, children):
-    order, probes, unk_id, hashed = aux
+    order, probes, unk_id, hashed, ctx_gated = aux
     tbls, uni = children
     return DeviceNgramLM(order, tbls, probes, unk_id, None,
-                         hashed=hashed, uni=uni)
+                         hashed=hashed, uni=uni, ctx_gated=ctx_gated)
 
 
 jax.tree_util.register_pytree_node(DeviceNgramLM, _tree_flatten,
@@ -501,11 +536,18 @@ def _hash_cols(cols) -> jnp.ndarray:
     return h
 
 
-def _lookup_cols(tbl, probes: int, cols):
+def _lookup_cols(tbl, probes: int, cols, active=None):
     """:func:`_lookup` with the key COLUMNS as separate plane arrays
     (shape [...] each) — the callers' natural form (the hashed path
     carries g_hi/g_lo planes; the tuple path broadcasts context
     columns), so no [..., k] stack is ever materialized.
+
+    ``active`` (optional bool plane, same shape as the cols) gates the
+    probe: inactive queries are REDIRECTED to row 0 (their descriptors
+    all fetch one hot row instead of random HBM rows — the probe is
+    descriptor-latency-bound, PERF.md round 5b) and their hit is forced
+    False.  Callers may only pass queries whose miss is already known
+    (see `_use_gate`); with ``active=None`` behavior is unchanged.
 
     Layout rule (the whole point — trace round 5b): every elementwise
     op here runs on [P, N] / [N] arrays with the flattened query axis
@@ -526,17 +568,24 @@ def _lookup_cols(tbl, probes: int, cols):
     if not _use_planes():
         keys = jnp.stack(cols, axis=-1)
         h = (_hash_jnp(keys) & cap_mask).astype(jnp.int32)
+        if active is not None:
+            h = jnp.where(active, h, 0)
         if wide:
             win = tbl[h].reshape(*h.shape, P, k + 2)       # [..., P, k+2]
         else:
             slots = h[..., None] + jnp.arange(P, dtype=jnp.int32)
             win = tbl[slots]                               # [..., P, k+2]
         hit_p = jnp.all(win[..., :k] == keys[..., None, :], axis=-1)
+        if active is not None:
+            hit_p = hit_p & active[..., None]
         hit = jnp.any(hit_p, axis=-1)
         v = jnp.where(hit_p[..., None], win[..., k:], 0).sum(axis=-2)
         v = jax.lax.bitcast_convert_type(v, jnp.float32)   # [..., 2]
         return hit, v[..., 0], v[..., 1]
     h = (_hash_cols(flat) & cap_mask).astype(jnp.int32)    # [N]
+    act = None if active is None else active.reshape(-1)   # [N]
+    if act is not None:
+        h = jnp.where(act, h, 0)
     if wide:
         win = jnp.take(tbl, h, axis=0)                     # [N, P*(k+2)]
         planes = win.reshape(N, P, k + 2).transpose(2, 1, 0)
@@ -548,6 +597,8 @@ def _lookup_cols(tbl, probes: int, cols):
     hit_p = planes[0] == flat[0][None, :]
     for j in range(1, k):
         hit_p = hit_p & (planes[j] == flat[j][None, :])    # [P, N]
+    if act is not None:
+        hit_p = hit_p & act[None, :]
     hit = jnp.any(hit_p, axis=0)                           # [N]
     v0 = jnp.where(hit_p, planes[k], 0).sum(axis=0)        # [N] i32
     v1 = jnp.where(hit_p, planes[k + 1], 0).sum(axis=0)
@@ -571,13 +622,14 @@ def _lookup_uni(uni, key1):
             jnp.where(hit, v[1], 0.0).reshape(shape))
 
 
-def _lookup_level(lm: "DeviceNgramLM", k: int, cols):
+def _lookup_level(lm: "DeviceNgramLM", k: int, cols, active=None):
     """Level-k (0-based) lookup over key COLUMN planes; level 0 takes
     the dense path when the LM carries one (hand-constructed tables may
-    not)."""
+    not).  ``active`` gates the probe (see `_lookup_cols`); the dense
+    unigram path ignores it (a direct index, nothing to redirect)."""
     if k == 0 and lm.uni is not None:
         return _lookup_uni(lm.uni, cols[0])
-    return _lookup_cols(lm.tbls[k], lm.probes[k], cols)
+    return _lookup_cols(lm.tbls[k], lm.probes[k], cols, active=active)
 
 
 def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
@@ -593,6 +645,17 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
     """
     M = lm.order
     C = cand_ids.shape[-1]
+    # context-gated probing (see _use_gate): a level-k gram probe can
+    # only hit when the level-k context exists, so redirect the rest of
+    # its [Q, C] descriptors to one hot row.  Sound only on models with
+    # the verified context property (ctx_gated).
+    gate = lm.ctx_gated and _use_gate()
+
+    def _gram_active(k, bo_hit):
+        if not gate or k == 0:
+            return None
+        return jnp.broadcast_to(bo_hit[k - 1][..., None], cand_ids.shape)
+
     if lm.hashed:
         # kenlm ngram_hash chains, computed incrementally right-to-left
         # (the predicted word seeds the hash, then history words fold in)
@@ -626,7 +689,8 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
             bo_val.append(jnp.where(h, bo, 0.0))
         gram = []
         for k in range(M):
-            h, lp, bo = _lookup_level(lm, k, gram_keys[k])
+            h, lp, bo = _lookup_level(lm, k, gram_keys[k],
+                                      active=_gram_active(k, bo_hit))
             if k > 0:
                 h = h & valid[k][..., None]
             gram.append((h, lp, bo))
@@ -645,7 +709,8 @@ def score_candidates(lm: DeviceNgramLM, ctx_ids, cand_ids):
             cols = [jnp.broadcast_to(ctx_ids[..., j][..., None],
                                      cand_ids.shape)
                     for j in range(M - 1 - k, M - 1)] + [cand_ids]
-            gram.append(_lookup_level(lm, k, cols))
+            gram.append(_lookup_level(lm, k, cols,
+                                      active=_gram_active(k, bo_hit)))
     # longest hitting level wins; add the backoffs of every existing
     # context LONGER than the match (the host scorers' shrinking loop)
     S = jnp.zeros(cand_ids.shape, jnp.float32)

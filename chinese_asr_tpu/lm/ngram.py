@@ -69,6 +69,12 @@ class PyNgramLM:
                     self.grams[words] = (logp, backoff)
         self.has_unk = ("<unk>",) in self.grams
 
+    def context_property(self) -> bool:
+        """True iff every n-gram's (n-1)-word prefix context is itself
+        an entry (see NgramLM.context_property)."""
+        return all(key[:-1] in self.grams
+                   for key in self.grams if len(key) >= 2)
+
     def _vocab_map(self, w: str) -> str:
         if (w,) in self.grams or w in ("<s>", "</s>"):
             return w
@@ -163,6 +169,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.lm_dump_order.restype = ctypes.c_int64
     lib.lm_dump_order.argtypes = [ctypes.c_void_p, ctypes.c_int32, _u32p,
                                   _u32p, _f32p, _f32p, ctypes.c_int64]
+    lib.lm_context_property.restype = ctypes.c_int32
+    lib.lm_context_property.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -253,6 +261,16 @@ class NgramLM:
         if self._py is not None:
             return -1
         return int(self._lib.lm_model_type(self._h))
+
+    def context_property(self) -> bool:
+        """True iff every n-gram's (n-1)-word prefix context is itself
+        an entry — the ARPA property kenlm's own builder/loader enforce.
+        ARPA-loaded models are checked exactly; kenlm binaries are True
+        by construction (see lm_context_property in the C++ kernel).
+        lm/device_ngram.py gates its high-order probe gathers on it."""
+        if self._py is not None:
+            return self._py.context_property()
+        return bool(self._lib.lm_context_property(self._h))
 
     # ---- helpers -----------------------------------------------------------
     def _ids(self, words: Sequence[str]) -> np.ndarray:

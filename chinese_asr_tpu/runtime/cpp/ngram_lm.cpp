@@ -1803,6 +1803,31 @@ int64_t lm_dump_order(void* hv, int32_t k, uint32_t* hi, uint32_t* lo,
   return s.n;
 }
 
+// 1 iff every n-gram's (n-1)-word PREFIX context is itself an entry —
+// the ARPA "context property" kenlm's own builder/loader enforce (a
+// retained n-gram's context is never pruned away), which
+// lm/device_ngram.py uses to gate its high-order probe gathers
+// (reference model.py:1182-1194 scores through kenlm, whose lookups
+// assume exactly this).  ARPA-loaded models are checked exactly over
+// the id-tuple table; kenlm binaries return 1 (probing binaries store
+// only 64-bit hashes, so the check is impossible there — and
+// unnecessary: a kenlm-built binary violating the property cannot be
+// produced).
+int32_t lm_context_property(void* hv) {
+  Handle* h = static_cast<Handle*>(hv);
+  if (!h->arpa) return 1;
+  const Model* m = h->arpa;
+  for (const auto& kv : m->grams) {
+    const int n = kv.first.len;
+    if (n < 2) continue;
+    NgramKey ctx;
+    ctx.len = static_cast<uint8_t>(n - 1);
+    std::memcpy(ctx.ids, kv.first.ids, (n - 1) * sizeof(uint32_t));
+    if (m->grams.find(ctx) == m->grams.end()) return 0;
+  }
+  return 1;
+}
+
 // returns id, or the <unk> id for OOV (-1 if no <unk> in an ARPA model;
 // binary models always resolve misses to 0 like kenlm)
 int64_t lm_vocab_id(void* hv, const char* word) {

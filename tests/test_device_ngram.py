@@ -404,3 +404,106 @@ def test_wide_window_packing_bit_identical(tmp_path, monkeypatch):
     hit, lp, _ = _lookup(jnp.asarray(wide[0]), probes, jnp.asarray(keys))
     assert bool(np.asarray(hit).all())
     np.testing.assert_array_equal(np.asarray(lp), vals[:, 0])
+
+
+def _prefix_closed_arpa(tmp_path, rng, idx, order=5, nvocab=12,
+                        n_chains=120):
+    """ARPA closed under prefixes: every written n-gram's (n-1)-word
+    context is also written — the property kenlm's builder guarantees
+    for every real artifact (and verifies at load), which
+    DeviceNgramLM's context-gated probing relies on (ctx_gated)."""
+    vocab = [f"w{i}" for i in range(nvocab)]
+    grams = {}
+    for w in ["<unk>", "<s>", "</s>"] + vocab:
+        grams[(w,)] = (round(float(-rng.rand() * 4 - 0.05), 4),
+                       round(float(-rng.rand()), 4))
+    for _ in range(n_chains):
+        o = int(rng.randint(2, order + 1))
+        key = tuple([str(rng.choice(["<s>"] + vocab))]
+                    + [str(rng.choice(vocab)) for _ in range(o - 2)]
+                    + [str(rng.choice(vocab + ["</s>"]))])
+        for L in range(2, o + 1):
+            pre = key[:L]
+            if pre not in grams and "</s>" not in pre[:-1]:
+                bo = round(float(-rng.rand() * 0.5), 4) if L < order else 0.0
+                grams[pre] = (round(float(-rng.rand() * 4 - 0.05), 4), bo)
+    per = {o: [] for o in range(1, order + 1)}
+    for k, (lp, bo) in grams.items():
+        per[len(k)].append((k, lp, bo))
+    lines = ["\\data\\"] + [f"ngram {o}={len(per[o])}"
+                            for o in range(1, order + 1)] + [""]
+    for o in range(1, order + 1):
+        lines.append(f"\\{o}-grams:")
+        for k, lp, bo in per[o]:
+            tail = f"\t{bo}" if (o < order and bo != 0.0) else ""
+            lines.append(f"{lp}\t{' '.join(k)}{tail}")
+        lines.append("")
+    lines += ["\\end\\", ""]
+    p = tmp_path / f"closed{idx}.arpa"
+    p.write_text("\n".join(lines))
+    return str(p), vocab
+
+
+def test_context_gate_detection(tmp_path):
+    """ctx_gated turns on exactly when the context property holds: True
+    for prefix-closed ARPAs (all three checkers agree), False for a
+    model with a 3-gram whose 2-gram context is pruned away."""
+    rng = np.random.RandomState(61)
+    path, _ = _prefix_closed_arpa(tmp_path, rng, 0, order=4)
+    cpp = ngram.NgramLM(path)
+    assert cpp.context_property()
+    assert ngram.PyNgramLM(path).context_property()
+    assert DeviceNgramLM.from_arpa(path).ctx_gated
+    assert DeviceNgramLM.from_lm(cpp).ctx_gated
+    viol = tmp_path / "viol.arpa"
+    viol.write_text("\n".join([
+        "\\data\\", "ngram 1=4", "ngram 2=1", "ngram 3=1", "",
+        "\\1-grams:", "-2.0\t<unk>\t-0.3", "-1.5\t<s>\t-0.3",
+        "-1.5\t</s>", "-1.0\ta\t-0.2", "",
+        "\\2-grams:", "-0.7\t<s> a\t-0.1", "",
+        "\\3-grams:", "-0.4\ta a a", "",       # context (a, a) missing
+        "\\end\\", ""]))
+    cpp_v = ngram.NgramLM(str(viol))
+    assert not cpp_v.context_property()
+    assert not ngram.PyNgramLM(str(viol)).context_property()
+    assert not DeviceNgramLM.from_arpa(str(viol)).ctx_gated
+    assert not DeviceNgramLM.from_lm(cpp_v).ctx_gated
+
+
+@pytest.mark.parametrize("layout", ["tuple", "hashed"])
+def test_context_gate_parity(tmp_path, layout, monkeypatch):
+    """Gated probing (redirect + forced miss where the level-k context
+    missed) must be BIT-identical to ungated probing on property-holding
+    models — at orders 4 and 5 in both key layouts, and in the stacked
+    probe-math layout too — and still match the Python oracle."""
+    rng = np.random.RandomState(67)
+    for idx, order in enumerate([4, 5]):
+        path, vocab = _prefix_closed_arpa(tmp_path, rng, 10 + idx,
+                                          order=order)
+        py = ngram.PyNgramLM(path)
+        if layout == "tuple":
+            dev = DeviceNgramLM.from_arpa(path)
+        else:
+            dev = DeviceNgramLM.from_lm(ngram.NgramLM(path))
+        assert dev.ctx_gated
+        ungated = DeviceNgramLM(dev.order, dev.tbls, dev.probes,
+                                dev.unk_id, dev.word2id, hashed=dev.hashed,
+                                uni=dev.uni, ctx_gated=False)
+        words = vocab + ["oovword", "<unk>", "</s>", "<s>"]
+        ctx_dev, ctx_py, cand_w, cand_dev = _pairs(rng, py, dev, order,
+                                                   Q=12, C=5, words=words)
+        got = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                          jnp.asarray(cand_dev)))
+        plain = np.asarray(score_candidates(ungated, jnp.asarray(ctx_dev),
+                                            jnp.asarray(cand_dev)))
+        np.testing.assert_array_equal(got, plain)
+        monkeypatch.setenv("CHINESE_ASR_DLM_LAYOUT", "stacked")
+        stacked = np.asarray(score_candidates(dev, jnp.asarray(ctx_dev),
+                                              jnp.asarray(cand_dev)))
+        monkeypatch.delenv("CHINESE_ASR_DLM_LAYOUT")
+        np.testing.assert_array_equal(got, stacked)
+        for q in range(got.shape[0]):
+            for c in range(got.shape[1]):
+                want = py._score_one(ctx_py[q], _mapped(py, cand_w[q][c]))
+                assert got[q, c] == pytest.approx(want, abs=1e-5), (
+                    order, ctx_py[q], cand_w[q][c])

@@ -29,10 +29,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def build_synth_dlm(entries, vocab_size, rng, wide: bool):
+def build_synth_dlm(entries, vocab_size, rng, wide: bool,
+                    ctx_gated: bool = True):
     """A DeviceNgramLM with hashed random keys at the given per-level
     entry counts (order = len(entries)); level 1 is the dense table
-    over 0..vocab_size-1 like from_lm builds."""
+    over 0..vocab_size-1 like from_lm builds.
+
+    ``ctx_gated=True`` marks the tables as context-property-holding the
+    way every kenlm-built artifact is.  NOTE the hit-rate caveat: the
+    keys are random 64-bit values, so the decode's context probes
+    essentially NEVER hit — the gated number is the maximum-win bracket
+    (all high-order probes redirect to one hot row).  The ungated
+    number is the all-contexts-hit bracket (no probe ever redirects —
+    the same random-row gathers either way); a real corpus+LM sits
+    between the two, nearer the gated end the harder the LM is pruned."""
     import jax.numpy as jnp
     from chinese_asr_tpu.lm import device_ngram as dn
     order = len(entries)
@@ -69,7 +79,7 @@ def build_synth_dlm(entries, vocab_size, rng, wide: bool):
               f"{t.nbytes / 1e6:.0f} MB", flush=True)
     tbls = [jnp.asarray(t) for t in tbls]
     return dn.DeviceNgramLM(order, tbls, probes, unk_id=0, word2id=None,
-                            hashed=True, uni=uni)
+                            hashed=True, uni=uni, ctx_gated=ctx_gated)
 
 
 def main():
@@ -82,6 +92,9 @@ def main():
     ap.add_argument("--entries", default="5000,500000,1000000,1000000,500000")
     ap.add_argument("--narrow", action="store_true",
                     help="also measure the narrow layout (slower compile)")
+    ap.add_argument("--gate-ab", action="store_true",
+                    help="also measure with context-gated probing OFF "
+                         "(the all-contexts-hit bracket; same tables)")
     ap.add_argument("--trace", action="store_true",
                     help="trace the wide variant; print top ops by "
                          "self-time")
@@ -124,6 +137,16 @@ def main():
         print(f"# building {name} 5-gram tables:", flush=True)
         lms[name] = build_synth_dlm(entries, V, np.random.RandomState(1),
                                     wide)
+    if args.gate_ab:
+        # same device tables, gating OFF — the all-contexts-hit bracket
+        # (see build_synth_dlm's hit-rate caveat)
+        base = lms["wide"]
+        from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
+        lms["nogate"] = DeviceNgramLM(
+            base.order, base.tbls, base.probes, base.unk_id, None,
+            hashed=True, uni=base.uni, ctx_gated=False)
+        variants.append(("nogate", True))
+    for name, _wide in variants:
         fns[name] = jax.jit(functools.partial(
             lm_fused.lm_fused_decode, cfg=cfg, bw=k, topn=topn,
             use_pallas=use_pallas))
