@@ -136,26 +136,34 @@ def _use_wide() -> bool:
     return os.environ.get("CHINESE_ASR_DLM_WIDE", "1") != "0"
 
 
-# Context-gated probing: ARPA/kenlm models guarantee that every n-gram's
-# (n-1)-word prefix context is itself an entry (kenlm's builder never
-# prunes a retained n-gram's context; its loaders assume the property —
+# Context-gated probing — MEASURED NEGATIVE, default OFF (opt-in env
+# CHINESE_ASR_DLM_GATE=1; do not re-enable without a new in-pipeline
+# trace).  ARPA/kenlm models guarantee that every n-gram's (n-1)-word
+# prefix context is itself an entry (kenlm's builder never prunes a
+# retained n-gram's context; its loaders assume the property —
 # reference model.py:1182-1194 scores through exactly such lookups).
-# Under that property a level-k gram probe can only HIT when the level-k
-# context lookup (already computed for the backoff chain, [Q] queries —
-# 20x fewer than the [Q, C] gram probes) hit, so the gram probe's hash
-# slot is REDIRECTED to row 0 and its hit forced False wherever the
-# context missed.  The descriptor COUNT is unchanged, but redirected
-# descriptors all fetch one hot row instead of random HBM rows — and the
-# probe is descriptor-LATENCY-bound with a measured ~4x gap between
-# random rows in big vs small tables (PERF.md round 5b) — so gating is
-# worth most exactly where the tables are biggest and the miss rate
-# highest (pruned high orders).  `ctx_gated` is verified at build time
-# for ARPA text (set False for property-violating models, e.g. the
-# pruned-holes fuzz ARPAs) and True for kenlm binaries by construction.
-# Env CHINESE_ASR_DLM_GATE=0 disables the redirect for A/Bs; gated and
-# ungated score bit-identically on property-holding models (by test).
+# Under that property a level-k gram probe can only HIT when the
+# level-k context lookup (already computed for the backoff chain, [Q]
+# queries — C× fewer than the [Q, C] gram probes) hit, so the gram
+# probe's hash slot can be REDIRECTED to row 0 and its hit forced
+# False wherever the context missed.  The hypothesis was that the
+# redirected descriptors would ride one hot HBM row (the measured ~4x
+# ns/descriptor gap between big and small tables, PERF.md round 5b).
+# The in-pipeline A/B said otherwise: at the production 5-gram scale
+# with random keys — the ALL-MISS bracket where every high-order probe
+# redirects, i.e. the gate's best possible case — the gated fused
+# decode ran 336 ms/batch vs 284 ungated (+18%,
+# tools/lm_fused_scale_bench.py --gate-ab, 3/3 rounds).  Conclusion:
+# the probe is descriptor-ISSUE bound, not row-locality bound, and the
+# new context->gram data dependency (the redirect needs bo_hit before
+# any gram gather can start) costs more than same-row fetches save.
+# The machinery stays (bit-identical by test, orders 4-5, both key
+# layouts, both probe-math layouts) as the recorded experiment;
+# `ctx_gated` — verified for ARPA text at build, True for kenlm
+# binaries by construction — remains an honest model property the
+# knob needs.
 def _use_gate() -> bool:
-    return os.environ.get("CHINESE_ASR_DLM_GATE", "1") != "0"
+    return os.environ.get("CHINESE_ASR_DLM_GATE", "0") == "1"
 
 
 def _widen_tables(tbls, probes, skip=(), budget: int = None):

@@ -475,7 +475,10 @@ def test_context_gate_parity(tmp_path, layout, monkeypatch):
     """Gated probing (redirect + forced miss where the level-k context
     missed) must be BIT-identical to ungated probing on property-holding
     models — at orders 4 and 5 in both key layouts, and in the stacked
-    probe-math layout too — and still match the Python oracle."""
+    probe-math layout too — and still match the Python oracle.  The
+    gate is a measured in-pipeline NEGATIVE (see _use_gate), so it is
+    opt-in; this pins the opt-in path's correctness."""
+    monkeypatch.setenv("CHINESE_ASR_DLM_GATE", "1")
     rng = np.random.RandomState(67)
     for idx, order in enumerate([4, 5]):
         path, vocab = _prefix_closed_arpa(tmp_path, rng, 10 + idx,

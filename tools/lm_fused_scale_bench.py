@@ -138,8 +138,12 @@ def main():
         lms[name] = build_synth_dlm(entries, V, np.random.RandomState(1),
                                     wide)
     if args.gate_ab:
-        # same device tables, gating OFF — the all-contexts-hit bracket
-        # (see build_synth_dlm's hit-rate caveat)
+        # gate ON for the property-marked tables ("wide" becomes the
+        # gated variant; random keys = the all-miss best-case bracket)
+        # vs the same tables unmarked ("nogate" = the all-contexts-hit
+        # bracket).  The gate lost this A/B (+18% — see _use_gate's
+        # measured-negative note) and is opt-in, hence the env set here.
+        os.environ["CHINESE_ASR_DLM_GATE"] = "1"
         base = lms["wide"]
         from chinese_asr_tpu.lm.device_ngram import DeviceNgramLM
         lms["nogate"] = DeviceNgramLM(
