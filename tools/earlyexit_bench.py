@@ -138,10 +138,11 @@ def main():
         def pipe_beam16(p, w, wl):
             f, fl = features.featurize_batch(w, wl, cfg.audio)
             res = beam.beam_decode(p, cfg, bw, f.astype(jnp.bfloat16), fl)
-            return beam.select_best(res, cfg.decode.length_weight)
+            return (beam.select_best(res, cfg.decode.length_weight),
+                    res.l_final)
 
         b32 = pipe_beam(p, wavs, wlens)[0]
-        b16 = pipe_beam16(p16, wavs, wlens)
+        b16 = pipe_beam16(p16, wavs, wlens)[0]
         t32, l32 = np.asarray(b32.tokens), np.asarray(b32.lens)
         t16, l16 = np.asarray(b16.tokens), np.asarray(b16.lens)
         match = sum(
@@ -154,8 +155,8 @@ def main():
               f"max={d.max():.4f}, non-finite bf16 scores: "
               f"{int((~np.isfinite(s16)).sum())}", flush=True)
         bench(lambda _p, w, wl: pipe_beam16(p16, w, wl),
-              lambda o: np.asarray(o.scores),
-              f"beam bw={bw} bf16", lambda o: "-")
+              lambda o: np.asarray(o[0].scores),
+              f"beam bw={bw} bf16", lambda o: int(o[1]) + 1)
 
 
 if __name__ == "__main__":
