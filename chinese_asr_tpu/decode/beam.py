@@ -66,8 +66,12 @@ def beam_decode(params, cfg: Config, bw: int, feats, feat_lens,
                 fused_logp: bool = None, lm_track=None):
     """``lm_track`` (optional): ``(dlm, tok2lm, bos_id, eos_id)`` — a
     DeviceNgramLM + token map.  When set, the loop PASSIVELY tracks
-    each live beam's cumulative LM score (bos=True chain, exactly the
-    f32 addition order of ``rescore.score_sequences``) and harvests
+    each live beam's cumulative LM score (the same bos=True chain of
+    f32 per-word terms as ``rescore.score_sequences``; the totals agree
+    to reduction-order rounding — the in-loop left-fold vs the post-hoc
+    path's free-to-reassociate ``sum``, i.e. ulps, tests pin
+    atol=2e-4 — NOT bit-exactly, so a near-exact tie can in principle
+    select different winners between the two paths) and harvests
     each finished hypothesis's FULL sentence LM score (cum + </s> term)
     into an extra ``[B, max_len, k]`` buffer, returned as
     ``(BeamResult, fin_lm)``.  Selection stays purely acoustic — the LM
@@ -390,6 +394,46 @@ class BestResult(NamedTuple):
     finished: jnp.ndarray  # [B] bool (False -> live-beam fallback was used)
 
 
+def select_merge(res: BeamResult, fin_sel, live_tok, live_sc,
+                 live_len) -> BestResult:
+    """Shared core of every on-device winner selection (`select_best`,
+    `rescore.select_rescored`, `lm_fused.select_best_first_pass`):
+    first-max argmax over the caller's -inf-masked per-slot selection
+    scores (ties resolve in harvest order, like the host paths' Python
+    ``max`` / stable sort-desc), the winner's tokens/len/RAW score
+    gathered from the n-best buffers, then the caller's mode-specific
+    live-beam fallback where-merged in for never-finished rows.  Any
+    future change to the masking/tie/fallback semantics lives HERE,
+    once."""
+    slot = jnp.argmax(fin_sel, axis=1)                               # [B]
+    fin_tok = jnp.take_along_axis(
+        res.fin_tokens, slot[:, None, None], axis=1)[:, 0]           # [B, L]
+    fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
+    fin_sc = jnp.take_along_axis(res.fin_scores, slot[:, None], axis=1)[:, 0]
+    has_fin = res.fin_count > 0
+    return BestResult(
+        tokens=jnp.where(has_fin[:, None], fin_tok.astype(jnp.int32),
+                         live_tok),
+        lens=jnp.where(has_fin, fin_len, live_len),
+        scores=jnp.where(has_fin, fin_sc, live_sc),
+        finished=has_fin)
+
+
+def live_fallback(res: BeamResult, length_weight: float):
+    """The reference's never-finished fallback (model.py:961-972): best
+    live beam by ``logp + length_weight * (l_final + 1)`` — the
+    (tokens, score, len) triple `select_merge` substitutes for rows
+    with an empty n-best."""
+    act = res.live_scores + length_weight * (
+        res.l_final + 1).astype(jnp.float32)                         # [B, k]
+    j = jnp.argmax(act, axis=1)
+    live_tok = jnp.take_along_axis(
+        res.live_tokens, j[:, None, None], axis=1)[:, 0].astype(jnp.int32)
+    live_sc = jnp.take_along_axis(act, j[:, None], axis=1)[:, 0]
+    live_len = jnp.full_like(res.fin_lens[:, 0], res.l_final + 1)
+    return live_tok, live_sc, live_len
+
+
 def select_best(res: BeamResult, length_weight: float) -> BestResult:
     """Device-side replica of ``finalize_beam``'s no-second-pass argmax.
 
@@ -400,31 +444,12 @@ def select_best(res: BeamResult, length_weight: float) -> BestResult:
     ``max``), else the reference's never-finished fallback — best live beam
     by ``logp + length_weight * (l_final + 1)`` (model.py:961-972).
     """
-    has_fin = res.fin_count > 0
     # mask non-finite slots like finalize_beam's np.isfinite does: a NaN
     # score (e.g. one bad bf16 step) must not win the argmax
     fin_sel = jnp.where(jnp.isfinite(res.fin_scores), res.fin_scores,
                         -jnp.inf)
-    slot = jnp.argmax(fin_sel, axis=1)                               # [B]
-    fin_tok = jnp.take_along_axis(
-        res.fin_tokens, slot[:, None, None], axis=1)[:, 0]           # [B, L]
-    fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
-    fin_sc = jnp.take_along_axis(res.fin_scores, slot[:, None], axis=1)[:, 0]
-
-    act = res.live_scores + length_weight * (
-        res.l_final + 1).astype(jnp.float32)                         # [B, k]
-    j = jnp.argmax(act, axis=1)
-    live_tok = jnp.take_along_axis(
-        res.live_tokens, j[:, None, None], axis=1)[:, 0].astype(jnp.int32)
-    live_sc = jnp.take_along_axis(act, j[:, None], axis=1)[:, 0]
-    live_len = jnp.full_like(fin_len, res.l_final + 1)
-
-    return BestResult(
-        tokens=jnp.where(has_fin[:, None], fin_tok.astype(jnp.int32),
-                         live_tok),
-        lens=jnp.where(has_fin, fin_len, live_len),
-        scores=jnp.where(has_fin, fin_sc, live_sc),
-        finished=has_fin)
+    live_tok, live_sc, live_len = live_fallback(res, length_weight)
+    return select_merge(res, fin_sel, live_tok, live_sc, live_len)
 
 
 @functools.lru_cache(maxsize=32)

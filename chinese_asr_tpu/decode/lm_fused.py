@@ -294,9 +294,13 @@ def _jitted(cfg: Config, bw: int, topn: int, use_pallas: bool, variant=None,
 def lm_fused_decode_jit(params, cfg: Config, bw: int, feats, feat_lens,
                         dlm, tok2lm, topn: int = 20,
                         legacy_select: bool = False) -> BeamResult:
+    # the variant tuple re-keys the cache on every trace-time env knob
+    # read inside: the top-k extraction flags AND the device-LM probe
+    # flags (device_ngram.trace_variant)
     return _jitted(cfg, bw, topn, pallas_topk.use_pallas_topk(),
                    (pallas_topk.use_grouped_topk(),
-                    pallas_topk.use_onepass_topk()), legacy_select)(
+                    pallas_topk.use_onepass_topk(),
+                    device_ngram.trace_variant()), legacy_select)(
         params, feats=feats, feat_lens=feat_lens, dlm=dlm, tok2lm=tok2lm)
 
 
@@ -309,23 +313,20 @@ def select_best_first_pass(res: BeamResult):
     per-batch transfer from the compacted n-best buffers (~the whole
     finalization half of the round-4 bench row) to one [B, max_len]
     row per sample, like `beam.select_best` does for the no-LM path."""
-    from .beam import BestResult
+    from .beam import select_merge
     B, k, max_len = res.live_tokens.shape
     fin_sel = jnp.where(jnp.isfinite(res.fin_scores), res.fin_scores,
                         -jnp.inf)
-    slot = jnp.argmax(fin_sel, axis=1)
-    fin_tok = jnp.take_along_axis(
-        res.fin_tokens, slot[:, None, None], axis=1)[:, 0]
-    fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
-    fin_sc = jnp.take_along_axis(res.fin_scores, slot[:, None], axis=1)[:, 0]
-    has_fin = res.fin_count > 0
-    live_len = jnp.minimum(res.l_final + 1, max_len)
-    return BestResult(
-        tokens=jnp.where(has_fin[:, None], fin_tok.astype(jnp.int32),
-                         res.live_tokens[:, 0].astype(jnp.int32)),
-        lens=jnp.where(has_fin, fin_len, live_len),
-        scores=jnp.where(has_fin, fin_sc, 0.0),
-        finished=has_fin)
+    # this mode's fallback differs from beam.live_fallback on purpose:
+    # the host loop returns (live beam 0, score 0.0) with the length
+    # clamped to the buffer (lm_first_pass_decode's contract), not the
+    # act-score argmax
+    live_len = jnp.broadcast_to(
+        jnp.minimum(res.l_final + 1, max_len),
+        res.fin_lens[:, 0].shape).astype(res.fin_lens.dtype)
+    return select_merge(res, fin_sel,
+                        res.live_tokens[:, 0].astype(jnp.int32),
+                        jnp.zeros(B, res.fin_scores.dtype), live_len)
 
 
 @functools.lru_cache(maxsize=32)
@@ -344,7 +345,8 @@ def lm_fused_decode_best_jit(params, cfg: Config, bw: int, feats,
     fast path for ``ASR(lm_mode="first")`` transcription."""
     return _jitted_best(cfg, bw, topn, pallas_topk.use_pallas_topk(),
                         (pallas_topk.use_grouped_topk(),
-                         pallas_topk.use_onepass_topk()))(
+                         pallas_topk.use_onepass_topk(),
+                         device_ngram.trace_variant()))(
         params, feats, feat_lens, dlm, tok2lm)
 
 

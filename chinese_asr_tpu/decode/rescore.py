@@ -92,38 +92,24 @@ def select_rescored(res: BeamResult, lm_sc, lm_weight: float,
                     length_weight: float) -> BestResult:
     """The selection half, given per-slot LM totals (either computed
     post-hoc by ``rescore_select`` or harvested in-loop by
-    ``beam_decode(lm_track=...)``)."""
-    finite = jnp.isfinite(res.fin_scores)
-    sel = jnp.where(finite,
+    ``beam_decode(lm_track=...)``): the rescored sum picks the slot
+    (`beam.select_merge` first-max semantics), the winner's RAW
+    acoustic score is reported, never-finished rows take the standard
+    live fallback (`beam.live_fallback`)."""
+    from .beam import live_fallback, select_merge
+    sel = jnp.where(jnp.isfinite(res.fin_scores),
                     res.fin_scores + lm_weight * lm_sc
                     + length_weight * res.fin_lens.astype(jnp.float32),
                     -jnp.inf)
-    slot = jnp.argmax(sel, axis=1)                         # first max wins
-    fin_tok = jnp.take_along_axis(
-        res.fin_tokens, slot[:, None, None], axis=1)[:, 0]
-    fin_len = jnp.take_along_axis(res.fin_lens, slot[:, None], axis=1)[:, 0]
-    fin_sc = jnp.take_along_axis(res.fin_scores, slot[:, None], axis=1)[:, 0]
-
-    has_fin = res.fin_count > 0
-    act = res.live_scores + length_weight * (
-        res.l_final + 1).astype(jnp.float32)               # [B, k]
-    j = jnp.argmax(act, axis=1)
-    live_tok = jnp.take_along_axis(
-        res.live_tokens, j[:, None, None], axis=1)[:, 0].astype(jnp.int32)
-    live_sc = jnp.take_along_axis(act, j[:, None], axis=1)[:, 0]
-    live_len = jnp.full_like(fin_len, res.l_final + 1)
-
-    return BestResult(
-        tokens=jnp.where(has_fin[:, None], fin_tok.astype(jnp.int32),
-                         live_tok),
-        lens=jnp.where(has_fin, fin_len, live_len),
-        scores=jnp.where(has_fin, fin_sc, live_sc),
-        finished=has_fin)
+    live_tok, live_sc, live_len = live_fallback(res, length_weight)
+    return select_merge(res, sel, live_tok, live_sc, live_len)
 
 
 @functools.lru_cache(maxsize=32)
 def _jitted(lm_weight: float, length_weight: float, bos_id: int,
-            eos_id: int):
+            eos_id: int, variant=None):
+    # variant = device_ngram.trace_variant(): the DLM env knobs read at
+    # trace time inside score_candidates must re-key this cache
     return jax.jit(functools.partial(rescore_select, lm_weight=lm_weight,
                                      length_weight=length_weight,
                                      bos_id=bos_id, eos_id=eos_id))
@@ -132,8 +118,8 @@ def _jitted(lm_weight: float, length_weight: float, bos_id: int,
 def rescore_select_jit(res: BeamResult, dlm, tok2lm, lm_weight: float,
                        length_weight: float, bos_id: int,
                        eos_id: int) -> BestResult:
-    return _jitted(lm_weight, length_weight, bos_id, eos_id)(
-        res, dlm, tok2lm)
+    return _jitted(lm_weight, length_weight, bos_id, eos_id,
+                   device_ngram.trace_variant())(res, dlm, tok2lm)
 
 
 # --------------------------------------------------------------------------
@@ -170,5 +156,6 @@ def beam_rescored_best_jit(params, cfg, bw: int, feats, feat_lens, dlm,
                            eos_id, pallas_topk.use_pallas_topk(),
                            beam_mod.beam_unroll(),
                            pallas_topk.use_fused_logp(),
-                           beam_mod._kernel_variant())(
+                           (beam_mod._kernel_variant(),
+                            device_ngram.trace_variant()))(
         params, feats, feat_lens, dlm, tok2lm)

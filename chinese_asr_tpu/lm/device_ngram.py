@@ -157,13 +157,29 @@ def _use_wide() -> bool:
 # the probe is descriptor-ISSUE bound, not row-locality bound, and the
 # new context->gram data dependency (the redirect needs bo_hit before
 # any gram gather can start) costs more than same-row fetches save.
-# The machinery stays (bit-identical by test, orders 4-5, both key
-# layouts, both probe-math layouts) as the recorded experiment;
-# `ctx_gated` — verified for ARPA text at build, True for kenlm
-# binaries by construction — remains an honest model property the
-# knob needs.
+# The machinery stays (bit-identical by test at orders 4-5, both key
+# layouts, both probe-math layouts — for the HASHED layout "identical"
+# is within the 64-bit-collision model kenlm's own probing tables
+# accept: a query whose ngram_hash collides with a stored gram while
+# its context is absent would hit ungated but miss gated, ~2^-64 per
+# query; the tuple layout compares full id tuples and is exactly
+# identical) as the recorded experiment; `ctx_gated` — verified for
+# ARPA text at build, True for kenlm binaries by construction —
+# remains an honest model property the knob needs.
 def _use_gate() -> bool:
     return os.environ.get("CHINESE_ASR_DLM_GATE", "0") == "1"
+
+
+def trace_variant():
+    """Trace-time env knobs read inside ``score_candidates``: any jit
+    cache whose program closes over device-LM lookups must include this
+    tuple in its key (the beam.py `_kernel_variant` convention) so
+    flipping CHINESE_ASR_DLM_LAYOUT / CHINESE_ASR_DLM_GATE between
+    calls retraces instead of replaying the stale traced choice.
+    CHINESE_ASR_DLM_WIDE needs no entry: it is a BUILD-time knob that
+    changes the table shapes, which re-key every jit through the pytree
+    structure on their own."""
+    return (_use_planes(), _use_gate())
 
 
 def _widen_tables(tbls, probes, skip=(), budget: int = None):
@@ -238,7 +254,7 @@ def _pack_table(ids: np.ndarray, tv: np.ndarray, probes: int) -> np.ndarray:
 def _pack_wide(tbl: np.ndarray, probes: int, k: int) -> np.ndarray:
     """Narrow packed [cap + P - 1, k + 2] -> wide [cap, P * (k + 2)]:
     row i holds slots i..i+P-1 concatenated (p-major), so a probe
-    window is ONE row gather (see _WIDE_MEM_CAP note)."""
+    window is ONE row gather (see the _WIDE_TOTAL_CAP note)."""
     cap = tbl.shape[0] - (probes - 1)
     idx = np.arange(cap)[:, None] + np.arange(probes)[None, :]
     return np.ascontiguousarray(

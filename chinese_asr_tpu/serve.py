@@ -116,6 +116,7 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.max_queue = 4 * max_batch if max_queue is None else max_queue
         self.rejected = 0           # fast-failed submits (stats/tests)
+        self._rej_lock = threading.Lock()   # += races across HTTP threads
         self.window = window_ms / 1e3
         # Collected batches vary in size request-by-request, and every new
         # batch size is a new jit shape (30-90 s of XLA compile on the
@@ -159,7 +160,8 @@ class MicroBatcher:
         ``max_queue`` (qsize is approximate under concurrency — the cap
         is a load-shedding threshold, not an exact invariant)."""
         if self.max_queue and self._q.qsize() >= self.max_queue:
-            self.rejected += 1
+            with self._rej_lock:
+                self.rejected += 1
             raise Overloaded(
                 f"pending queue at capacity ({self.max_queue}); retry later")
         ev = threading.Event()

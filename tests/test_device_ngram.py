@@ -510,3 +510,29 @@ def test_context_gate_parity(tmp_path, layout, monkeypatch):
                 want = py._score_one(ctx_py[q], _mapped(py, cand_w[q][c]))
                 assert got[q, c] == pytest.approx(want, abs=1e-5), (
                     order, ctx_py[q], cand_w[q][c])
+
+
+def test_trace_variant_rekeys_jit_caches(monkeypatch):
+    """The DLM env knobs are read at TRACE time inside score_candidates,
+    so every jit cache that closes over device-LM lookups keys on
+    `trace_variant()` (the beam.py _kernel_variant convention) —
+    flipping CHINESE_ASR_DLM_GATE / _LAYOUT between calls must retrace,
+    not replay the stale traced choice."""
+    from chinese_asr_tpu.decode import rescore
+    from chinese_asr_tpu.lm.device_ngram import trace_variant
+
+    monkeypatch.delenv("CHINESE_ASR_DLM_GATE", raising=False)
+    monkeypatch.delenv("CHINESE_ASR_DLM_LAYOUT", raising=False)
+    base = trace_variant()
+    monkeypatch.setenv("CHINESE_ASR_DLM_GATE", "1")
+    gated = trace_variant()
+    assert gated != base
+    monkeypatch.setenv("CHINESE_ASR_DLM_LAYOUT", "stacked")
+    stacked = trace_variant()
+    assert stacked != gated
+    # distinct variants -> distinct lru entries (hence distinct traces)
+    n0 = rescore._jitted.cache_info().currsize
+    rescore._jitted(0.125, 0.25, 1, 2, base)
+    rescore._jitted(0.125, 0.25, 1, 2, gated)
+    rescore._jitted(0.125, 0.25, 1, 2, stacked)
+    assert rescore._jitted.cache_info().currsize == n0 + 3
